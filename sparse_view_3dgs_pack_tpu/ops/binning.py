@@ -1,0 +1,88 @@
+"""Tile binning with static shapes.
+
+Replaces the CUDA pipeline `duplicateWithKeys → cub radix sort →
+identifyTileRanges` (`rasterizer_impl.cu:70-138,306-317`) with an XLA-native
+equivalent: bounded pair expansion via `jnp.repeat(total_repeat_length=...)`,
+a lexicographic `lax.sort` on (tile, depth), and `searchsorted` tile ranges.
+Capacity is a static bucket (`max_pairs`); the returned `total_pairs` lets the
+host grow the bucket and re-jit on overflow — the static-shape analogue of the
+reference's dynamically resized binning buffers (`rasterize_points.cu:27`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import Projected
+
+TILE = 16
+
+
+class Binning(NamedTuple):
+    ids: jnp.ndarray          # (max_pairs,) int32 gaussian index, sorted by (tile, depth)
+    tile_starts: jnp.ndarray  # (num_tiles,) int32
+    tile_counts: jnp.ndarray  # (num_tiles,) int32
+    total_pairs: jnp.ndarray  # () int32 — actual pairs; > max_pairs means overflow
+
+
+def tile_grid(width: int, height: int, tile: int = TILE):
+    return (width + tile - 1) // tile, (height + tile - 1) // tile
+
+
+def gaussian_rects(means2d, radii, width, height, tile: int = TILE):
+    """Clamped tile rect per Gaussian (reference `getRect`,
+    `cuda_rasterizer/auxiliary.h`)."""
+    grid_x, grid_y = tile_grid(width, height, tile)
+    r = radii.astype(jnp.float32)
+    min_x = jnp.clip(((means2d[:, 0] - r) / tile).astype(jnp.int32), 0, grid_x)
+    max_x = jnp.clip(((means2d[:, 0] + r + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
+    min_y = jnp.clip(((means2d[:, 1] - r) / tile).astype(jnp.int32), 0, grid_y)
+    max_y = jnp.clip(((means2d[:, 1] + r + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
+    return min_x, max_x, min_y, max_y
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_pairs", "tile"))
+def bin_gaussians(means2d, depths, radii, width: int, height: int,
+                  max_pairs: int, tile: int = TILE) -> Binning:
+    P = means2d.shape[0]
+    grid_x, grid_y = tile_grid(width, height, tile)
+    num_tiles = grid_x * grid_y
+
+    min_x, max_x, min_y, max_y = gaussian_rects(means2d, radii, width, height, tile)
+    rect_w = max_x - min_x
+    touched = jnp.where(radii > 0, rect_w * (max_y - min_y), 0)
+
+    offsets = jnp.cumsum(touched) - touched        # exclusive
+    total = offsets[-1] + touched[-1]
+
+    gauss_ids = jnp.repeat(jnp.arange(P, dtype=jnp.int32), touched,
+                           total_repeat_length=max_pairs)
+    slot = jnp.arange(max_pairs, dtype=jnp.int32)
+    pair_valid = slot < total
+    j = slot - offsets[gauss_ids]
+    rw = jnp.maximum(rect_w[gauss_ids], 1)
+    tx = min_x[gauss_ids] + j % rw
+    ty = min_y[gauss_ids] + j // rw
+    tile_id = jnp.where(pair_valid, ty * grid_x + tx, num_tiles)
+
+    sorted_tile, _, sorted_ids = jax.lax.sort(
+        (tile_id, depths[gauss_ids].astype(jnp.float32), gauss_ids),
+        num_keys=2, is_stable=True)
+
+    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tile_range, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tile_range, side="right").astype(jnp.int32)
+    return Binning(ids=sorted_ids, tile_starts=starts,
+                   tile_counts=ends - starts,
+                   total_pairs=total.astype(jnp.int32))
+
+
+def count_pairs(means2d, depths, radii, width, height, tile: int = TILE):
+    """Host-callable exact pair count (for choosing `max_pairs` buckets)."""
+    min_x, max_x, min_y, max_y = gaussian_rects(means2d, radii, width, height, tile)
+    touched = jnp.where(radii > 0, (max_x - min_x) * (max_y - min_y), 0)
+    return jnp.sum(touched)

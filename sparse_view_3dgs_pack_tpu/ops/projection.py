@@ -1,0 +1,160 @@
+"""Gaussian preprocess: projection, EWA cov2D, conic, radius, SH color.
+
+Pure-JAX, batched over all Gaussians (embarrassingly parallel; XLA fuses this
+whole stage). Numerics follow the reference CUDA preprocess
+(`gaussian-splatting/submodules/diff-gaussian-rasterization/cuda_rasterizer/forward.cu:74-260`):
+1.3·tan_fov frustum clamp in the Jacobian, +0.3 pixel dilation, optional
+antialiasing opacity rescale sqrt(det/det_dilated), 3σ radius from the larger
+eigenvalue, near-cull at z ≤ 0.2.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.general import build_scaling_rotation
+from ..utils.sh import eval_sh
+
+NEAR_CULL_Z = 0.2
+DILATION = 0.3
+
+
+class Projected(NamedTuple):
+    means2d: jnp.ndarray    # (P, 2) pixel coords
+    depths: jnp.ndarray     # (P,) camera z
+    radii: jnp.ndarray      # (P,) int32 pixel radius (0 = culled)
+    conics: jnp.ndarray     # (P, 3) inverse 2D covariance (a, b, c)
+    colors: jnp.ndarray     # (P, C)
+    opacities: jnp.ndarray  # (P,) after optional antialias scaling
+
+
+def compute_cov3d(scales, quats, scale_modifier=1.0):
+    """Σ = (R S)(R S)ᵀ packed as (P, 6) upper-triangular [xx,xy,xz,yy,yz,zz]."""
+    L = build_scaling_rotation(scale_modifier * scales, quats)
+    cov = jnp.einsum("...ij,...kj->...ik", L, L)
+    return jnp.stack([cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
+                      cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]], -1)
+
+
+def _cov2d(p_view, cov3d, viewmat, focal_x, focal_y, tan_fovx, tan_fovy):
+    """EWA projection of 3D covariance to screen space. p_view: (P,3)."""
+    tz = p_view[:, 2]
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tx = jnp.clip(p_view[:, 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(p_view[:, 1] / tz, -limy, limy) * tz
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    zeros = jnp.zeros_like(tz)
+    # J: (P, 2, 3) — only the two projective rows matter
+    J = jnp.stack([
+        jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], -1),
+        jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], -1),
+    ], -2)
+    W = viewmat[:3, :3]  # world→cam rotation
+    JW = jnp.einsum("pij,jk->pik", J, W)  # (P, 2, 3)
+
+    c = cov3d
+    V = jnp.stack([
+        jnp.stack([c[:, 0], c[:, 1], c[:, 2]], -1),
+        jnp.stack([c[:, 1], c[:, 3], c[:, 4]], -1),
+        jnp.stack([c[:, 2], c[:, 4], c[:, 5]], -1),
+    ], -2)  # (P, 3, 3)
+    cov2d = jnp.einsum("pij,pjk,plk->pil", JW, V, JW)  # (P, 2, 2)
+    return cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
+
+
+def ndc2pix(v, size):
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,          # (P, 3)
+    scales: jnp.ndarray,           # (P, 3) activated (exp applied)
+    quats: jnp.ndarray,            # (P, 4)
+    opacities: jnp.ndarray,        # (P,) activated (sigmoid applied)
+    viewmat: jnp.ndarray,          # (4, 4) world→cam
+    full_proj: jnp.ndarray,        # (4, 4) world→clip
+    cam_center: jnp.ndarray,       # (3,)
+    tan_fovx, tan_fovy,
+    width: int, height: int,
+    sh: Optional[jnp.ndarray] = None,        # (P, K, C)
+    sh_degree: int = 0,
+    colors_precomp: Optional[jnp.ndarray] = None,  # (P, C)
+    cov3d_precomp: Optional[jnp.ndarray] = None,   # (P, 6)
+    scale_modifier: float = 1.0,
+    antialiasing: bool = False,
+) -> Projected:
+    P = means3d.shape[0]
+    focal_x = width / (2.0 * tan_fovx)
+    focal_y = height / (2.0 * tan_fovy)
+
+    ones = jnp.ones((P, 1), means3d.dtype)
+    homog = jnp.concatenate([means3d, ones], axis=1)
+    p_view = homog @ viewmat.T            # (P, 4)
+    p_hom = homog @ full_proj.T           # (P, 4)
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+
+    in_front = p_view[:, 2] > NEAR_CULL_Z
+    safe_z = jnp.where(in_front, p_view[:, 2], 1.0)
+    p_view_safe = p_view[:, :3].at[:, 2].set(safe_z)
+
+    if cov3d_precomp is not None:
+        cov3d = cov3d_precomp
+    else:
+        cov3d = compute_cov3d(scales, quats, scale_modifier)
+    cxx, cxy, cyy = _cov2d(p_view_safe, cov3d, viewmat,
+                           focal_x, focal_y, tan_fovx, tan_fovy)
+
+    det_cov = cxx * cyy - cxy * cxy
+    cxx_d = cxx + DILATION
+    cyy_d = cyy + DILATION
+    det_dil = cxx_d * cyy_d - cxy * cxy
+    if antialiasing:
+        h_scale = jnp.sqrt(jnp.maximum(2.5e-5, det_cov / det_dil))
+    else:
+        h_scale = jnp.ones_like(det_cov)
+
+    valid = in_front & (det_dil != 0.0)
+    det_inv = 1.0 / jnp.where(det_dil == 0, 1.0, det_dil)
+    conics = jnp.stack([cyy_d * det_inv, -cxy * det_inv, cxx_d * det_inv], -1)
+
+    mid = 0.5 * (cxx_d + cyy_d)
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det_dil))
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(mid + disc, mid - disc)))
+
+    means2d = jnp.stack([ndc2pix(p_proj[:, 0], width),
+                         ndc2pix(p_proj[:, 1], height)], -1)
+
+    # cull Gaussians whose tile rect is empty (reference getRect semantics)
+    grid_x = (width + 15) // 16
+    grid_y = (height + 15) // 16
+    rect_min_x = jnp.clip(((means2d[:, 0] - radius) / 16).astype(jnp.int32), 0, grid_x)
+    rect_max_x = jnp.clip(((means2d[:, 0] + radius + 15) / 16).astype(jnp.int32), 0, grid_x)
+    rect_min_y = jnp.clip(((means2d[:, 1] - radius) / 16).astype(jnp.int32), 0, grid_y)
+    rect_max_y = jnp.clip(((means2d[:, 1] + radius + 15) / 16).astype(jnp.int32), 0, grid_y)
+    nonempty = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y) > 0
+    valid = valid & nonempty
+
+    if colors_precomp is not None:
+        colors = colors_precomp
+    else:
+        dirs = means3d - cam_center[None, :]
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        colors = jnp.maximum(eval_sh(sh_degree, sh, dirs) + 0.5, 0.0)
+
+    radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    return Projected(
+        means2d=means2d,
+        depths=jnp.where(valid, p_view[:, 2], jnp.inf),
+        radii=radii,
+        conics=conics,
+        colors=colors,
+        opacities=jnp.where(valid, opacities * h_scale, 0.0),
+    )

@@ -1,0 +1,218 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_view_3dgs_pack_tpu import testing
+from sparse_view_3dgs_pack_tpu.ops import binning as binning_mod
+from sparse_view_3dgs_pack_tpu.ops.blending import blend_weights
+from sparse_view_3dgs_pack_tpu.ops.projection import project_gaussians
+from sparse_view_3dgs_pack_tpu.ops.rasterize_ref import rasterize_dense
+from sparse_view_3dgs_pack_tpu.ops.rasterize_tiles import RasterConfig, rasterize
+
+W, H = 64, 48
+
+
+def _scene(n=200, seed=0, channels=3):
+    cloud = testing.make_gaussian_cloud(seed, n, extent=1.0,
+                                        channels=channels)
+    cam = testing.make_orbit_cameras(3, radius=4.0, width=W, height_px=H)[0]
+    return cloud, cam
+
+
+def _project(cloud, cam, antialiasing=False):
+    p = cam.params()
+    return project_gaussians(
+        means3d=jnp.asarray(cloud["xyz"]),
+        scales=jnp.exp(jnp.asarray(cloud["scales"])),
+        quats=jnp.asarray(cloud["quats"]),
+        opacities=jax.nn.sigmoid(jnp.asarray(cloud["opacity"][:, 0])),
+        viewmat=jnp.asarray(p.viewmat), full_proj=jnp.asarray(p.full_proj),
+        cam_center=jnp.asarray(p.cam_center),
+        tan_fovx=float(p.tan_fovx), tan_fovy=float(p.tan_fovy),
+        width=W, height=H,
+        sh=jnp.asarray(cloud["features"]), sh_degree=0,
+        antialiasing=antialiasing)
+
+
+def test_blend_weights_matches_sequential():
+    rng = np.random.default_rng(0)
+    alphas = rng.uniform(0, 0.9, size=(17,)).astype(np.float32)
+    alphas[alphas < 1 / 255] = 0
+    w, log_t = blend_weights(jnp.asarray(alphas))
+    # sequential reference
+    T = 1.0
+    ws = np.zeros_like(alphas)
+    for i, a in enumerate(alphas):
+        test_T = T * (1 - a)
+        if test_T < 1e-4:
+            break
+        ws[i] = a * T
+        T = test_T
+    np.testing.assert_allclose(np.asarray(w), ws, atol=1e-6)
+    np.testing.assert_allclose(np.exp(float(log_t)), T, rtol=1e-5)
+
+
+def test_blend_early_stop():
+    # large alphas force the T<1e-4 stop: later entries contribute nothing
+    alphas = jnp.full((40,), 0.9)
+    w, log_t = blend_weights(alphas)
+    assert float(w[-1]) == 0.0
+    assert float(w[0]) == pytest.approx(0.9)
+    assert float(jnp.exp(log_t)) >= 1e-4 * (1 - 0.9) - 1e-9
+
+
+def test_projection_basic():
+    cloud, cam = _scene()
+    proj = _project(cloud, cam)
+    n_valid = int((proj.radii > 0).sum())
+    assert n_valid > 100  # most of the cloud is visible
+    m = np.asarray(proj.means2d)[np.asarray(proj.radii) > 0]
+    assert (m[:, 0] > -W) .all() and (m[:, 0] < 2 * W).all()
+    d = np.asarray(proj.depths)[np.asarray(proj.radii) > 0]
+    assert (d > 0.2).all()
+
+
+def test_projection_center_point():
+    # a gaussian at the look-at target lands at the image center
+    cloud, cam = _scene(n=1)
+    cloud["xyz"][:] = 0.0
+    proj = _project(cloud, cam)
+    np.testing.assert_allclose(np.asarray(proj.means2d)[0],
+                               [(W - 1) / 2, (H - 1) / 2], atol=1e-3)
+    assert float(proj.depths[0]) == pytest.approx(
+        np.linalg.norm(cam.camera_center), rel=1e-5)
+
+
+def test_binning_covers_radii():
+    cloud, cam = _scene()
+    proj = _project(cloud, cam)
+    b = binning_mod.bin_gaussians(proj.means2d, proj.depths, proj.radii,
+                                  W, H, max_pairs=1 << 14)
+    total = int(b.total_pairs)
+    assert 0 < total < 1 << 14
+    assert int(b.tile_counts.sum()) == total
+    # every tile's ids are depth sorted
+    ids = np.asarray(b.ids)
+    depths = np.asarray(proj.depths)
+    starts, counts = np.asarray(b.tile_starts), np.asarray(b.tile_counts)
+    for t in range(len(starts)):
+        seg = ids[starts[t]:starts[t] + counts[t]]
+        d = depths[seg]
+        assert (np.diff(d) >= -1e-6).all()
+
+
+def test_tiled_matches_oracle():
+    cloud, cam = _scene(n=300)
+    proj = _project(cloud, cam)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    ref = rasterize_dense(proj, W, H, bg)
+    cfg = RasterConfig(max_pairs=1 << 15, max_per_tile=512, tile_batch=4)
+    out = rasterize(proj, W, H, bg, cfg)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.invdepth),
+                               np.asarray(ref.invdepth), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.depth),
+                               np.asarray(ref.depth), atol=1e-4)
+
+
+def test_tiled_matches_oracle_antialiasing():
+    cloud, cam = _scene(n=150, seed=3)
+    proj = _project(cloud, cam, antialiasing=True)
+    bg = jnp.zeros(3)
+    ref = rasterize_dense(proj, W, H, bg)
+    out = rasterize(proj, W, H, bg,
+                    RasterConfig(max_pairs=1 << 15, max_per_tile=512,
+                                 tile_batch=8))
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=2e-5)
+
+
+def test_nchannel_rendering():
+    cloud, cam = _scene(n=100, channels=4)
+    proj = _project(cloud, cam)
+    bg = jnp.zeros(4)
+    out = rasterize(proj, W, H, bg,
+                    RasterConfig(max_pairs=1 << 14, max_per_tile=256,
+                                 tile_batch=8))
+    assert out.color.shape == (H, W, 4)
+    ref = rasterize_dense(proj, W, H, bg)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=2e-5)
+
+
+def test_gradients_match_oracle():
+    cloud, cam = _scene(n=60, seed=1)
+    p = cam.params()
+    target = jax.random.uniform(jax.random.PRNGKey(0), (H, W, 3))
+    bg = jnp.zeros(3)
+    cfg = RasterConfig(max_pairs=1 << 13, max_per_tile=256, tile_batch=8)
+
+    def loss_fn(params, tiled):
+        proj = project_gaussians(
+            means3d=params["xyz"],
+            scales=jnp.exp(params["scales"]),
+            quats=params["quats"],
+            opacities=jax.nn.sigmoid(params["opacity"][:, 0]),
+            viewmat=jnp.asarray(p.viewmat),
+            full_proj=jnp.asarray(p.full_proj),
+            cam_center=jnp.asarray(p.cam_center),
+            tan_fovx=float(p.tan_fovx), tan_fovy=float(p.tan_fovy),
+            width=W, height=H, sh=params["features"], sh_degree=0)
+        if tiled:
+            out = rasterize(proj, W, H, bg, cfg)
+        else:
+            out = rasterize_dense(proj, W, H, bg)
+        return jnp.abs(out.color - target).mean()
+
+    params = {k: jnp.asarray(v) for k, v in cloud.items()}
+    g_ref = jax.grad(lambda q: loss_fn(q, False))(params)
+    g_tile = jax.grad(lambda q: loss_fn(q, True))(params)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_tile[k]),
+                                   np.asarray(g_ref[k]),
+                                   atol=5e-6, rtol=1e-3, err_msg=k)
+    # gradients are nonzero somewhere
+    assert float(jnp.abs(g_tile["xyz"]).max()) > 0
+
+
+def test_optimize_single_gaussian_position():
+    # end-to-end gradient sanity: recover a translated gaussian by SGD
+    cloud, cam = _scene(n=1, seed=5)
+    cloud["xyz"][:] = np.array([[0.3, -0.2, 0.1]], np.float32)
+    cloud["scales"][:] = np.log(0.3)
+    cloud["opacity"][:] = 3.0
+    p = cam.params()
+    bg = jnp.zeros(3)
+
+    def render(xyz):
+        proj = project_gaussians(
+            means3d=xyz, scales=jnp.exp(jnp.asarray(cloud["scales"])),
+            quats=jnp.asarray(cloud["quats"]),
+            opacities=jax.nn.sigmoid(jnp.asarray(cloud["opacity"][:, 0])),
+            viewmat=jnp.asarray(p.viewmat),
+            full_proj=jnp.asarray(p.full_proj),
+            cam_center=jnp.asarray(p.cam_center),
+            tan_fovx=float(p.tan_fovx), tan_fovy=float(p.tan_fovy),
+            width=W, height=H, sh=jnp.asarray(cloud["features"]),
+            sh_degree=0)
+        return rasterize(proj, W, H, bg,
+                         RasterConfig(max_pairs=1 << 12, max_per_tile=64,
+                                      tile_batch=12)).color
+
+    import optax
+
+    target = render(jnp.asarray(cloud["xyz"]))
+    x = jnp.asarray(cloud["xyz"]) + jnp.array([[0.08, -0.05, 0.06]])
+    loss = jax.jit(lambda x: ((render(x) - target) ** 2).mean())
+    gfn = jax.jit(jax.grad(lambda x: ((render(x) - target) ** 2).mean()))
+    opt = optax.adam(0.02)
+    state = opt.init(x)
+    l0 = float(loss(x))
+    for _ in range(80):
+        upd, state = opt.update(gfn(x), state)
+        x = optax.apply_updates(x, upd)
+    assert float(loss(x)) < 0.05 * l0
