@@ -1,0 +1,172 @@
+"""High-level render entry point (reference
+`gaussian_renderer/__init__.py:18-128`).
+
+Connects a GaussianState + camera to the projection and tiled rasterizer ops.
+Returns the reference's output contract: render / viewspace_points /
+visibility_filter / radii / depth (expected inverse depth), plus alpha and
+expected depth (the FSGS/DNGaussian rasterizer variants' extra outputs,
+`dgr_fsgs/__init__.py:98` — here they're always available; confidence
+gradient scaling is a first-class option).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .data.cameras import CameraParams
+from .models import gaussians as gm
+from .ops.binning import bin_gaussians
+from .ops.projection import project_gaussians
+from .ops.rasterize_tiles import RasterConfig, rasterize_binned
+
+
+class RenderResult(NamedTuple):
+    render: jnp.ndarray             # (H, W, C) clamped to [0,1]
+    viewspace_points: jnp.ndarray   # (CAP, 2) the zero offset param
+    radii: jnp.ndarray              # (CAP,) int32
+    depth: jnp.ndarray              # (H, W) expected inverse depth
+    alpha: jnp.ndarray              # (H, W)
+    expected_depth: jnp.ndarray     # (H, W)
+    n_pairs: jnp.ndarray            # () int32 — actual (tile,gaussian) pairs;
+                                    # > config.max_pairs signals bucket overflow
+
+
+def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
+                width: int, height: int, bg_color,
+                sh_degree_active: int,
+                config: RasterConfig,
+                scaling_modifier: float = 1.0,
+                antialiasing: bool = False,
+                use_trained_exp: bool = False,
+                override_color=None,
+                confidence=None,
+                opacity_override=None,
+                viewspace_offset=None,
+                clamp: bool = True) -> RenderResult:
+    """Differentiable core — fully traceable; all array args may be traced.
+
+    `confidence`: per-Gaussian gradient scale (FSGS N2 semantics) applied via
+    the straight-through trick g·c + stop_grad(g·(1-c)) — forward identical,
+    backward scaled.
+    `opacity_override`: activated (CAP,) opacities (DNGaussian's neural
+    opacity or frozen-opacity depth passes).
+    """
+    xyz = params["xyz"]
+    if viewspace_offset is None:
+        viewspace_offset = jnp.zeros((xyz.shape[0], 2), xyz.dtype)
+
+    scales = jnp.exp(params["scaling"]) * 1.0
+    quats = params["rotation"]
+    if opacity_override is not None:
+        opacity = opacity_override * alive
+    else:
+        opacity = jax.nn.sigmoid(params["opacity"][:, 0]) * alive
+
+    if confidence is not None:
+        def scale_grad(p):
+            c = confidence.reshape((-1,) + (1,) * (p.ndim - 1))
+            return p * c + jax.lax.stop_gradient(p * (1.0 - c))
+        xyz = scale_grad(xyz)
+        scales = scale_grad(scales)
+        quats = scale_grad(quats)
+        opacity = scale_grad(opacity)
+
+    sh = None
+    colors_precomp = None
+    if override_color is not None:
+        colors_precomp = override_color
+    else:
+        sh = jnp.concatenate([params["features_dc"],
+                              params["features_rest"]], axis=1)
+        if confidence is not None:
+            sh = sh * confidence[:, None, None] + jax.lax.stop_gradient(
+                sh * (1.0 - confidence[:, None, None]))
+
+    proj = project_gaussians(
+        means3d=xyz, scales=scales, quats=quats, opacities=opacity,
+        viewmat=cam.viewmat, full_proj=cam.full_proj,
+        cam_center=cam.cam_center,
+        tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+        width=width, height=height,
+        sh=sh, sh_degree=sh_degree_active,
+        colors_precomp=colors_precomp,
+        scale_modifier=scaling_modifier,
+        antialiasing=antialiasing)
+    proj = proj._replace(means2d=proj.means2d + viewspace_offset)
+
+    binning = bin_gaussians(
+        jax.lax.stop_gradient(proj.means2d),
+        jax.lax.stop_gradient(proj.depths), proj.radii,
+        width, height, config.max_pairs, config.tile)
+    out = rasterize_binned(proj, binning, width, height,
+                           jnp.asarray(bg_color), config)
+
+    image = out.color
+    if use_trained_exp:
+        image = image @ exposure_mat[:3, :3] + exposure_mat[:3, 3]
+    if clamp:
+        image = jnp.clip(image, 0.0, 1.0)
+
+    return RenderResult(render=image, viewspace_points=viewspace_offset,
+                        radii=proj.radii, depth=out.invdepth,
+                        alpha=out.alpha, expected_depth=out.depth,
+                        n_pairs=binning.total_pairs)
+
+
+def render(state: gm.GaussianState, camera, bg_color,
+           sh_degree_active: Optional[int] = None,
+           scaling_modifier: float = 1.0, antialiasing: bool = False,
+           use_trained_exp: bool = False, exposure_idx: int = 0,
+           config: Optional[RasterConfig] = None,
+           override_color=None) -> RenderResult:
+    """Host-friendly wrapper: takes a data.cameras.Camera (or MiniCam)."""
+    if config is None:
+        config = default_raster_config(state.capacity, camera.width,
+                                       camera.height)
+    if sh_degree_active is None:
+        sh_degree_active = state.max_sh_degree
+    exposure_mat = state.exposure[min(exposure_idx,
+                                      state.exposure.shape[0] - 1)]
+    return _render_jit(state.params, state.alive.astype(jnp.float32),
+                       exposure_mat, camera.params(),
+                       camera.width, camera.height,
+                       jnp.asarray(bg_color, jnp.float32),
+                       sh_degree_active, config, scaling_modifier,
+                       antialiasing, use_trained_exp, override_color)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "sh_degree_active",
+                                   "config", "scaling_modifier",
+                                   "antialiasing", "use_trained_exp"))
+def _render_jit(params, alive, exposure_mat, cam, width, height, bg_color,
+                sh_degree_active, config, scaling_modifier, antialiasing,
+                use_trained_exp, override_color):
+    return render_core(params, alive, exposure_mat, cam, width, height,
+                       bg_color, sh_degree_active, config, scaling_modifier,
+                       antialiasing, use_trained_exp, override_color)
+
+
+def default_raster_config(capacity: int, width: int, height: int,
+                          max_pairs: int = 0, max_per_tile: int = 0,
+                          tile_batch: int = 64) -> RasterConfig:
+    """Heuristic static buckets: pairs ≈ 8×capacity (grown on overflow by the
+    training loop), per-tile list capped by pairs and tile count."""
+    num_tiles = ((width + 15) // 16) * ((height + 15) // 16)
+    if max_pairs <= 0:
+        max_pairs = max(1 << 16, _next_pow2(capacity * 8))
+    if max_per_tile <= 0:
+        max_per_tile = min(4096, max(256, _next_pow2(max_pairs // max(num_tiles // 8, 1))))
+    tile_batch = max(1, min(tile_batch, num_tiles))
+    return RasterConfig(max_pairs=max_pairs, max_per_tile=max_per_tile,
+                        tile_batch=tile_batch)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p

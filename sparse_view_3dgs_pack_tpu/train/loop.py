@@ -1,0 +1,264 @@
+"""Host training driver (reference `LGDWT-GS/train.py:48-292`).
+
+The device does one XLA program per iteration (`train/step.py`); this loop
+samples cameras without replacement, evaluates LR schedules, fires
+densify/opacity-reset/SH-degree events, grows static capacity buckets on
+overflow, logs, evaluates, and checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import gaussians as gm
+from ..renderer import default_raster_config, render
+from ..utils.general import get_expon_lr_func
+from ..utils.image import psnr as psnr_fn
+from . import checkpoint as ckpt
+from .densify import densify_and_prune, reset_opacity
+from .optim import (init_adam, init_exposure_adam, make_exposure_schedule,
+                    make_lr_schedules)
+from .step import CameraBank, StepCarry, StepConfig, train_step
+
+
+@dataclass
+class TrainerEvents:
+    """Host callbacks: (iteration, trainer) → None."""
+    on_iteration: list = field(default_factory=list)
+
+
+class Trainer:
+    """Owns device state + schedules for the 3DGS/LGDWT family."""
+
+    def __init__(self, scene, opt, pipe, dataset_args, method="lgdwt",
+                 quiet=False):
+        self.scene = scene
+        self.opt = opt
+        self.pipe = pipe
+        self.dataset_args = dataset_args
+        self.method = method
+        self.quiet = quiet
+
+        cams = scene.getTrainCameras()
+        self.width = cams[0].width
+        self.height = cams[0].height
+        self.channels = 3
+        self.bank = CameraBank.from_cameras(cams, self.channels)
+
+        self.state = scene.gaussians
+        self.adam = init_adam(self.state.params)
+        self.exp_adam = init_exposure_adam(self.state.exposure)
+        self.carry = StepCarry(dwt_running_mean=jnp.ones(()))
+        self.iteration = 0
+        self.active_sh_degree = 0
+        self.spatial_lr_scale = scene.cameras_extent
+
+        self.lr_scheds = make_lr_schedules(opt, self.spatial_lr_scale)
+        self.exposure_sched = make_exposure_schedule(opt)
+        self.depth_weight_sched = get_expon_lr_func(
+            opt.depth_l1_weight_init, opt.depth_l1_weight_final,
+            max_steps=opt.iterations)
+
+        self.background = jnp.asarray(
+            [1.0, 1.0, 1.0] if dataset_args.white_background
+            else [0.0, 0.0, 0.0], jnp.float32)[:self.channels]
+
+        self._raster_cfg = None
+        self._cfg = None
+        self._rebuild_config()
+
+        self.viewpoint_stack = []
+        self.events = TrainerEvents()
+        self.overflow_streak = 0
+
+    # -------------------------------------------------------------- config
+    def _rebuild_config(self):
+        o = self.opt
+        self._raster_cfg = default_raster_config(
+            self.state.capacity, self.width, self.height,
+            max_pairs=getattr(self.pipe, "max_pairs", 0),
+            max_per_tile=getattr(self.pipe, "max_per_tile", 0),
+            tile_batch=getattr(self.pipe, "tile_batch", 64))
+        self._cfg = StepConfig(
+            width=self.width, height=self.height, channels=self.channels,
+            sh_degree=self.dataset_args.sh_degree, raster=self._raster_cfg,
+            lambda_dssim=o.lambda_dssim,
+            antialiasing=getattr(self.pipe, "antialiasing", False),
+            train_test_exp=getattr(self.dataset_args, "train_test_exp", False),
+            sparse_adam=(o.optimizer_type == "sparse_adam"),
+            dwt_enable=getattr(o, "dwt_enable", False),
+            dwt_weights=(getattr(o, "dwt_ll1_weight", 0.0),
+                         getattr(o, "dwt_lh1_weight", 0.0),
+                         getattr(o, "dwt_hl1_weight", 0.0),
+                         getattr(o, "dwt_hh1_weight", 0.0),
+                         getattr(o, "dwt_ll2_weight", 0.0),
+                         getattr(o, "dwt_lh2_weight", 0.0),
+                         getattr(o, "dwt_hl2_weight", 0.0),
+                         getattr(o, "dwt_hh2_weight", 0.0)),
+            patch_dwt_enable=getattr(o, "patch_dwt_enable", False),
+            patch_dwt_weight=getattr(o, "patch_dwt_weight", 0.1),
+            patch_size=getattr(o, "patch_size", 128),
+            patch_percentile=getattr(o, "patch_percentile", 0.2),
+            patch_dwt_lh1_weight=getattr(o, "patch_dwt_lh1_weight", 1.0),
+            patch_dwt_hl1_weight=getattr(o, "patch_dwt_hl1_weight", 1.0),
+        )
+
+    def _maybe_grow(self):
+        """Grow parameter capacity and pair buckets when close to full."""
+        n = int(self.state.n_alive)
+        if n > 0.85 * self.state.capacity:
+            new_cap = self.state.capacity * 2
+            self.state = gm.grow_capacity(self.state, new_cap)
+
+            # moments survive the grow: zero-pad them to the new capacity
+            def pad(tree_old):
+                out = {}
+                for k, a in tree_old.items():
+                    target = self.state.params[k].shape
+                    if a.shape != target:
+                        pads = [(0, target[0] - a.shape[0])] + \
+                               [(0, 0)] * (a.ndim - 1)
+                        out[k] = jnp.pad(a, pads)
+                    else:
+                        out[k] = a
+                return out
+            self.adam = self.adam._replace(m=pad(self.adam.m),
+                                           v=pad(self.adam.v))
+            self._rebuild_config()
+            if not self.quiet:
+                print(f"[capacity] grown to {new_cap}")
+
+    def _maybe_grow_pairs(self, n_pairs: int):
+        if n_pairs > self._raster_cfg.max_pairs:
+            self.overflow_streak += 1
+            new_pairs = self._raster_cfg.max_pairs
+            while new_pairs < n_pairs * 1.3:
+                new_pairs *= 2
+            self.pipe.max_pairs = new_pairs
+            self._rebuild_config()
+            if not self.quiet:
+                print(f"[raster] pair bucket grown to {new_pairs}")
+
+    # ---------------------------------------------------------------- step
+    def pick_camera(self) -> int:
+        if not self.viewpoint_stack:
+            self.viewpoint_stack = list(range(len(self.scene.getTrainCameras())))
+        idx = self.viewpoint_stack.pop(
+            random.randint(0, len(self.viewpoint_stack) - 1))
+        return idx
+
+    def step(self) -> dict:
+        self.iteration += 1
+        it = self.iteration
+        o = self.opt
+
+        if it % 1000 == 0 and self.active_sh_degree < self.dataset_args.sh_degree:
+            self.active_sh_degree += 1
+
+        cam_idx = self.pick_camera()
+        lrs = {k: jnp.asarray(f(it), jnp.float32)
+               for k, f in self.lr_scheds.items()
+               if k in self.state.params}
+        bg = (jnp.asarray(np.random.random(self.channels), jnp.float32)
+              if getattr(o, "random_background", False) else self.background)
+
+        out = train_step(
+            self.state, self.adam, self.exp_adam, self.carry, self.bank,
+            jnp.asarray(cam_idx, jnp.int32), lrs,
+            jnp.asarray(self.exposure_sched(it), jnp.float32),
+            jnp.asarray(self.depth_weight_sched(it), jnp.float32),
+            jnp.asarray(self.active_sh_degree, jnp.int32), bg, self._cfg)
+        self.state, self.adam = out.state, out.adam
+        self.exp_adam, self.carry = out.exp_adam, out.carry
+        metrics = out.metrics
+
+        # densification events (reference train.py:265-276)
+        if it < o.densify_until_iter:
+            if it > o.densify_from_iter and it % o.densification_interval == 0:
+                self._maybe_grow()
+                size_thr = 20 if it > o.opacity_reset_interval else 0
+                res = densify_and_prune(
+                    self.state, self.adam,
+                    jax.random.PRNGKey(it),
+                    o.densify_grad_threshold, 0.005,
+                    self.scene.cameras_extent, max_screen_size=size_thr,
+                    percent_dense=o.percent_dense)
+                self.state, self.adam = res.state, res.opt_state
+            if (it % o.opacity_reset_interval == 0
+                    or (self.dataset_args.white_background
+                        and it == o.densify_from_iter)):
+                self.state, self.adam = reset_opacity(self.state, self.adam)
+
+        if it % 50 == 0:
+            self._maybe_grow_pairs(int(metrics["n_pairs"]))
+
+        for cb in self.events.on_iteration:
+            cb(it, self, metrics)
+        return metrics
+
+    # ------------------------------------------------------------- eval/IO
+    def evaluate(self, cameras, max_views: Optional[int] = None) -> dict:
+        if max_views:
+            cameras = cameras[:max_views]
+        if not cameras:
+            return {}
+        psnrs, l1s = [], []
+        for i, cam in enumerate(cameras):
+            res = render(self.state, cam, self.background,
+                         sh_degree_active=self.active_sh_degree,
+                         antialiasing=getattr(self.pipe, "antialiasing",
+                                              False),
+                         config=self._raster_cfg)
+            img = np.asarray(res.render)
+            gt = cam.image[..., :self.channels]
+            psnrs.append(float(psnr_fn(jnp.asarray(img), jnp.asarray(gt))))
+            l1s.append(float(np.abs(img - gt).mean()))
+        return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s)),
+                "n_views": len(cameras)}
+
+    def save_scene(self, iteration: int):
+        self.scene.gaussians = self.state
+        self.scene.save(iteration)
+
+    def save_checkpoint(self, path: str):
+        ckpt.save_checkpoint(path, self.state, self.adam, self.exp_adam,
+                             self.carry, self.iteration)
+
+    def restore_checkpoint(self, path: str):
+        (self.state, self.adam, self.exp_adam, self.carry,
+         self.iteration) = ckpt.load_checkpoint(path)
+        self.active_sh_degree = min(self.iteration // 1000,
+                                    self.dataset_args.sh_degree)
+        self._rebuild_config()
+
+
+def simple_train(scene, opt, pipe, dataset_args, method="lgdwt",
+                 testing_iterations=(), saving_iterations=(),
+                 checkpoint_iterations=(), quiet=False,
+                 progress: Optional[Callable] = None):
+    trainer = Trainer(scene, opt, pipe, dataset_args, method, quiet=quiet)
+    t0 = time.time()
+    for it in range(trainer.iteration + 1, opt.iterations + 1):
+        metrics = trainer.step()
+        if progress and it % 10 == 0:
+            progress(it, metrics)
+        if it in testing_iterations:
+            stats = trainer.evaluate(scene.getTestCameras() or
+                                     scene.getTrainCameras()[:4])
+            print(f"\n[ITER {it}] Evaluating: PSNR {stats.get('psnr', 0):.2f}")
+        if it in saving_iterations:
+            print(f"\n[ITER {it}] Saving Gaussians")
+            trainer.save_scene(it)
+        if it in checkpoint_iterations:
+            trainer.save_checkpoint(
+                os.path.join(scene.model_path, f"chkpnt{it}.npz"))
+    elapsed = time.time() - t0
+    return trainer, elapsed
