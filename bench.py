@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""Headline benchmark on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": "render_fps_1080p", "value": N, "unit": "fps",
+   "vs_baseline": N/30, ...extras}
+
+Baseline anchor: the 3DGS paper's ">= 30 fps at 1080p" real-time claim on an
+RTX-class GPU (reference `gaussian-splatting/README.md:14`) and a consumer-
+GPU training rate of ~15 it/s for the 30k-iteration schedule. Scenes are
+synthetic (no datasets ship with the repo): a 200k-Gaussian cloud with
+mid-training-like scale statistics.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+TRAIN_BASELINE_ITS = 15.0   # consumer-GPU 3DGS-like it/s anchor
+RENDER_BASELINE_FPS = 30.0  # paper claim @1080p
+
+
+def build_scene(n=200_000, seed=0, extent=2.5, scale=(0.004, 0.02)):
+    from sparse_view_3dgs_pack_tpu import testing
+    cloud = testing.make_gaussian_cloud(seed, n, extent=extent,
+                                        scale_range=scale, sh_degree=0)
+    return cloud
+
+
+def bench_render(width=1920, height=1080, n=200_000, frames=20):
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_view_3dgs_pack_tpu.data.cameras import CameraParams
+    from sparse_view_3dgs_pack_tpu.ops.projection import project_gaussians
+    from sparse_view_3dgs_pack_tpu.ops.rasterize_tiles import (RasterConfig,
+                                                               rasterize)
+    from sparse_view_3dgs_pack_tpu.testing import make_orbit_cameras
+
+    cloud = build_scene(n)
+    cams = make_orbit_cameras(frames, radius=6.0, width=width,
+                              height_px=height)
+    cfg = RasterConfig(max_pairs=1 << 21, max_per_tile=1024, tile_batch=256)
+
+    params = {
+        "xyz": jnp.asarray(cloud["xyz"]),
+        "scales": jnp.exp(jnp.asarray(cloud["scales"])),
+        "quats": jnp.asarray(cloud["quats"]),
+        "opac": jax.nn.sigmoid(jnp.asarray(cloud["opacity"][:, 0])),
+        "sh": jnp.asarray(cloud["features"]),
+    }
+
+    def render_frame(p, viewmat, full_proj, cam_center, tanx, tany):
+        proj = project_gaussians(
+            means3d=p["xyz"], scales=p["scales"], quats=p["quats"],
+            opacities=p["opac"], viewmat=viewmat, full_proj=full_proj,
+            cam_center=cam_center, tan_fovx=tanx, tan_fovy=tany,
+            width=width, height=height, sh=p["sh"], sh_degree=0)
+        return rasterize(proj, width, height, jnp.zeros(3), cfg).color
+
+    jfn = jax.jit(render_frame)
+    camps = [c.params() for c in cams]
+
+    def args(i):
+        p = camps[i % len(camps)]
+        return (jnp.asarray(p.viewmat), jnp.asarray(p.full_proj),
+                jnp.asarray(p.cam_center), jnp.asarray(p.tan_fovx),
+                jnp.asarray(p.tan_fovy))
+
+    out = jfn(params, *args(0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(frames):
+        out = jfn(params, *args(i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return frames / dt
+
+
+def bench_train(width=800, height=800, n=100_000, iters=30):
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_view_3dgs_pack_tpu.models import gaussians as gm
+    from sparse_view_3dgs_pack_tpu.ops.rasterize_tiles import RasterConfig
+    from sparse_view_3dgs_pack_tpu.testing import make_orbit_cameras
+    from sparse_view_3dgs_pack_tpu.train.optim import (init_adam,
+                                                       init_exposure_adam)
+    from sparse_view_3dgs_pack_tpu.train.step import (CameraBank, StepCarry,
+                                                      StepConfig, train_step)
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    cols = rng.random((n, 3)).astype(np.float32)
+    state = gm.create_from_pcd(pts, cols, n_images=4, sh_degree=3)
+
+    cams = make_orbit_cameras(4, radius=6.0, width=width, height_px=height)
+    for c in cams:
+        c.image = rng.random((height, width, 3)).astype(np.float32)
+        c.alpha_mask = np.ones((height, width), np.float32)
+    bank = CameraBank.from_cameras(cams)
+
+    cfg = StepConfig(
+        width=width, height=height, sh_degree=3,
+        raster=RasterConfig(max_pairs=1 << 21, max_per_tile=1024,
+                            tile_batch=128),
+        dwt_enable=True, patch_dwt_enable=True, patch_size=128)
+
+    adam = init_adam(state.params)
+    exp_adam = init_exposure_adam(state.exposure)
+    carry = StepCarry(dwt_running_mean=jnp.ones(()))
+    lrs = {k: jnp.asarray(1e-3) for k in state.params}
+
+    def one(i, state, adam, exp_adam, carry):
+        return train_step(state, adam, exp_adam, carry, bank,
+                          jnp.asarray(i % 4, jnp.int32), lrs,
+                          jnp.asarray(0.0), jnp.asarray(0.0),
+                          jnp.asarray(3, jnp.int32), jnp.zeros(3), cfg)
+
+    out = one(0, state, adam, exp_adam, carry)
+    jax.block_until_ready(out.state.params["xyz"])
+    state, adam, exp_adam, carry = (out.state, out.adam, out.exp_adam,
+                                    out.carry)
+    t0 = time.perf_counter()
+    for i in range(1, iters + 1):
+        out = one(i, state, adam, exp_adam, carry)
+        state, adam, exp_adam, carry = (out.state, out.adam, out.exp_adam,
+                                        out.carry)
+    jax.block_until_ready(state.params["xyz"])
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def main():
+    render_fps = bench_render()
+    train_its = bench_train()
+    result = {
+        "metric": "render_fps_1080p",
+        "value": round(render_fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(render_fps / RENDER_BASELINE_FPS, 3),
+        "train_iters_per_sec_800p": round(train_its, 2),
+        "train_vs_baseline": round(train_its / TRAIN_BASELINE_ITS, 3),
+        "device": _device_name(),
+    }
+    print(json.dumps(result))
+
+
+def _device_name():
+    import jax
+    try:
+        return str(jax.devices()[0])
+    except Exception:
+        return "unknown"
+
+
+if __name__ == "__main__":
+    main()

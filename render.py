@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Rendering CLI — flag-compatible with the reference `render.py`
+(`LGDWT-GS/render.py:62-77`): loads the trained PLY at --iteration (or max),
+renders train/test sets to renders/ + gt/ PNGs. --video renders an FSGS-style
+spiral/ellipse camera path to mp4 (`FSGS/render.py:55-81`)."""
+
+import os
+import sys
+from argparse import ArgumentParser
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def render_set(model_path, name, iteration, views, trainer_state, bg,
+               raster_cfg, antialiasing, active_sh):
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from sparse_view_3dgs_pack_tpu.renderer import render
+
+    render_path = os.path.join(model_path, name, f"ours_{iteration}",
+                               "renders")
+    gts_path = os.path.join(model_path, name, f"ours_{iteration}", "gt")
+    os.makedirs(render_path, exist_ok=True)
+    os.makedirs(gts_path, exist_ok=True)
+
+    for idx, view in enumerate(views):
+        res = render(trainer_state, view, bg, sh_degree_active=active_sh,
+                     antialiasing=antialiasing, config=raster_cfg)
+        img = (np.clip(np.asarray(res.render), 0, 1) * 255).astype(np.uint8)
+        PILImage.fromarray(img).save(
+            os.path.join(render_path, f"{idx:05d}.png"))
+        if view.image is not None:
+            gt = (np.clip(view.image, 0, 1) * 255).astype(np.uint8)
+            PILImage.fromarray(gt).save(
+                os.path.join(gts_path, f"{idx:05d}.png"))
+
+
+def render_video(model_path, iteration, views, state, bg, raster_cfg,
+                 antialiasing, active_sh, fps=30):
+    """Spiral-path video (FSGS `render.py:55-81`)."""
+    import cv2
+    import numpy as np
+
+    from sparse_view_3dgs_pack_tpu.renderer import render
+    from sparse_view_3dgs_pack_tpu.utils.pose_utils import (
+        generate_ellipse_path, generate_spiral_path)
+
+    os.makedirs(os.path.join(model_path, "video"), exist_ok=True)
+    path_cams = generate_spiral_path(views, n_frames=120)
+    h, w = views[0].height, views[0].width
+    writer = cv2.VideoWriter(
+        os.path.join(model_path, "video", f"ours_{iteration}.mp4"),
+        cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for cam in path_cams:
+        res = render(state, cam, bg, sh_degree_active=active_sh,
+                     antialiasing=antialiasing, config=raster_cfg)
+        img = (np.clip(np.asarray(res.render), 0, 1) * 255).astype(np.uint8)
+        writer.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    writer.release()
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="Testing script parameters")
+    from sparse_view_3dgs_pack_tpu.config import (ModelParams,
+                                                  PipelineParams,
+                                                  get_combined_args)
+    model = ModelParams(parser, sentinel=True)
+    pipeline = PipelineParams(parser)
+    parser.add_argument("--iteration", default=-1, type=int)
+    parser.add_argument("--skip_train", action="store_true")
+    parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--video", action="store_true")
+    parser.add_argument("--fps", default=30, type=int)
+    args = get_combined_args(parser, argv)
+    print("Rendering " + args.model_path)
+
+    import jax.numpy as jnp
+
+    from sparse_view_3dgs_pack_tpu.renderer import default_raster_config
+    from sparse_view_3dgs_pack_tpu.scene import Scene
+    from sparse_view_3dgs_pack_tpu.utils.general import safe_state
+
+    safe_state(args.quiet)
+    dataset = model.extract(args)
+    pipe = pipeline.extract(args)
+    scene = Scene(dataset, load_iteration=args.iteration, shuffle=False,
+                  sh_degree=dataset.sh_degree)
+    state = scene.gaussians
+    bg = jnp.asarray([1, 1, 1] if dataset.white_background else [0, 0, 0],
+                     jnp.float32)
+    cams = scene.getTrainCameras() or scene.getTestCameras()
+    cfg = default_raster_config(state.capacity, cams[0].width,
+                                cams[0].height,
+                                max_pairs=getattr(pipe, "max_pairs", 0),
+                                max_per_tile=getattr(pipe, "max_per_tile", 0))
+    sh = state.max_sh_degree
+
+    if not args.skip_train and scene.getTrainCameras():
+        render_set(dataset.model_path, "train", scene.loaded_iter,
+                   scene.getTrainCameras(), state, bg, cfg,
+                   pipe.antialiasing, sh)
+    if not args.skip_test and scene.getTestCameras():
+        render_set(dataset.model_path, "test", scene.loaded_iter,
+                   scene.getTestCameras(), state, bg, cfg,
+                   pipe.antialiasing, sh)
+    if args.video:
+        render_video(dataset.model_path, scene.loaded_iter,
+                     scene.getTrainCameras(), state, bg, cfg,
+                     pipe.antialiasing, sh, fps=args.fps)
+
+
+if __name__ == "__main__":
+    main()
