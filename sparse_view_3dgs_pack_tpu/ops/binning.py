@@ -81,6 +81,42 @@ def bin_gaussians(means2d, depths, radii, width: int, height: int,
                    total_pairs=total.astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("width", "height", "max_pairs", "tile",
+                                   "align"))
+def bin_gaussians_aligned(means2d, depths, radii, width: int, height: int,
+                          max_pairs: int, tile: int = TILE,
+                          align: int = 128) -> Binning:
+    """Binning with every tile's range start aligned to `align` pairs.
+
+    Each tile's pair count is padded up to a multiple of `align` with
+    sentinel id -1 (rendered with opacity 0), so tile starts are all
+    `align`-multiples — the Pallas kernel can then DMA contiguous aligned
+    slices. Output capacity is max_pairs + align·num_tiles. `tile_counts`
+    are the PADDED counts; sentinels are inert in blending.
+    """
+    grid_x, grid_y = tile_grid(width, height, tile)
+    num_tiles = grid_x * grid_y
+    b = bin_gaussians(means2d, depths, radii, width, height, max_pairs, tile)
+
+    pad = (-b.tile_counts) % align
+    cum_pad = jnp.cumsum(pad) - pad                     # exclusive
+    out_size = max_pairs + align * num_tiles
+
+    # tile of each sorted pair (num_tiles sentinel for padding slots)
+    slot = jnp.arange(max_pairs, dtype=jnp.int32)
+    in_range = slot < b.total_pairs
+    pair_tile = jnp.searchsorted(b.tile_starts, slot, side="right") - 1
+    pair_tile = jnp.clip(pair_tile, 0, num_tiles - 1)
+    new_idx = jnp.where(in_range, slot + cum_pad[pair_tile], out_size)
+
+    new_ids = jnp.full((out_size,), -1, jnp.int32).at[new_idx].set(
+        b.ids, mode="drop")
+    new_starts = (b.tile_starts + cum_pad).astype(jnp.int32)
+    new_counts = (b.tile_counts + pad).astype(jnp.int32)
+    return Binning(ids=new_ids, tile_starts=new_starts,
+                   tile_counts=new_counts, total_pairs=b.total_pairs)
+
+
 def count_pairs(means2d, depths, radii, width, height, tile: int = TILE):
     """Host-callable exact pair count (for choosing `max_pairs` buckets)."""
     min_x, max_x, min_y, max_y = gaussian_rects(means2d, radii, width, height, tile)

@@ -1,0 +1,233 @@
+"""Pallas TPU rasterizer — the speed-of-light render path.
+
+Replaces the padded pure-XLA tile renderer for the hot loop. Per the CUDA
+reference's architecture (`forward.cu:276-414`) but TPU-shaped:
+
+* Pair data is pre-gathered into a depth-sorted (16, max_pairs) array, so
+  every tile's working set is a CONTIGUOUS slice — the kernel double-buffers
+  (16, CHUNK) slices HBM→VMEM with async DMA.
+* Grid = one program per 16×16 tile; the chunk loop bound is that tile's
+  ACTUAL pair count (scalar-prefetched), so work ∝ Σ pairs, not
+  tiles × max_per_tile. An all-pixels-saturated early exit skips trailing
+  chunks (the T < 1e-4 stop of the CUDA loop).
+* Blending uses the monotone log-transmittance form: s = cumsum(log1p(-α))
+  is non-increasing, so the CUDA stop condition is simply s ≥ log(1e-4) —
+  no sequential dependence, no cummax.
+* Per-chunk blend contraction (w @ payload) rides the MXU.
+
+Outputs per tile: (C+2 blend channels, log_T, n_contrib) laid out
+(num_tiles, 8, 256) for lane-aligned writes; `unpack_tiles` reshapes to
+images.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..binning import Binning, tile_grid
+
+TILE = 16
+PIX = TILE * TILE           # 256 pixels per tile
+CHUNK = 256                 # pairs per inner chunk
+DROWS = 16                  # pair-data rows (mx,my,a,b,c,op,payload[<=8],...)
+ALPHA_EPS = 1.0 / 255.0
+ALPHA_MAX = 0.99
+LOG_T_EPS = math.log(1e-4)
+
+
+def pack_pair_data(proj, ids) -> jnp.ndarray:
+    """Gather per-pair Gaussian data → (16, max_pairs) f32.
+
+    Rows: 0 mx, 1 my, 2 conic a, 3 conic b, 4 conic c, 5 opacity,
+          6..6+C-1 colors, 6+C invdepth, 7+C depth, rest zero.
+    """
+    C = proj.colors.shape[-1]
+    assert C <= 8, "payload supports up to 8 color channels"
+    safe_depth = jnp.where(jnp.isfinite(proj.depths), proj.depths, 1.0)
+    valid = (ids >= 0).astype(jnp.float32)
+    ids_c = jnp.maximum(ids, 0)
+    rows = [proj.means2d[:, 0], proj.means2d[:, 1],
+            proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
+            proj.opacities]
+    for c in range(C):
+        rows.append(proj.colors[:, c])
+    rows.append(1.0 / safe_depth)
+    rows.append(safe_depth)
+    data = jnp.stack(rows, axis=0)                     # (6+C+2, P)
+    data = data[:, ids_c]                              # (D, MP)
+    # sentinel pairs (alignment padding, id -1) render with opacity 0
+    data = data.at[5, :].multiply(valid)
+    pad = DROWS - data.shape[0]
+    if pad > 0:
+        data = jnp.concatenate(
+            [data, jnp.zeros((pad, data.shape[1]), data.dtype)], axis=0)
+    # slack columns so the last 128-aligned tile range can DMA a full CHUNK
+    return jnp.concatenate(
+        [data, jnp.zeros((DROWS, CHUNK), data.dtype)], axis=1)
+
+
+def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload,
+                # scalar prefetch
+                starts_ref, counts_ref,
+                # inputs
+                pairs_hbm, bg_ref,
+                # outputs
+                out_ref,
+                # scratch
+                buf, sems):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, max_chunks)
+
+    tx = (t % grid_x) * TILE
+    ty = (t // grid_x) * TILE
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (tx + pidx % TILE).astype(jnp.float32)        # (256, 1)
+    py = (ty + pidx // TILE).astype(jnp.float32)
+
+    def dma(slot, k):
+        # tile ranges are 128-aligned by bin_gaussians_aligned; tell Mosaic
+        off = pl.multiple_of(start + k * CHUNK, 128)
+        return pltpu.make_async_copy(
+            pairs_hbm.at[:, pl.ds(off, CHUNK)],
+            buf.at[slot], sems.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    # cumsum along the chunk axis as an MXU matmul with an upper-triangular
+    # ones matrix (Mosaic has no cumsum primitive; exact in f32)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    triu_ones = (row_i <= col_i).astype(jnp.float32)
+
+    def body(state):
+        k, log_t, accum, n_contrib = state
+        slot = k % 2
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            dma((k + 1) % 2, k + 1).start()
+
+        dma(slot, k).wait()
+        d = buf[slot]                                   # (16, CHUNK)
+        mx = d[0:1, :]
+        my = d[1:2, :]
+        ca = d[2:3, :]
+        cb = d[3:4, :]
+        cc = d[4:5, :]
+        op = d[5:6, :]
+
+        dx = px - mx                                    # (256, CHUNK)
+        dy = py - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        G = jnp.exp(jnp.minimum(power, 0.0))
+        alpha = jnp.minimum(ALPHA_MAX, op * G)
+        valid = (lane + k * CHUNK) < count
+        alpha = jnp.where((power > 0.0) | (alpha < ALPHA_EPS) | ~valid,
+                          0.0, alpha)
+
+        log1m = jnp.log1p(-alpha)
+        s_incl = log_t + jax.lax.dot_general(
+            log1m, triu_ones, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (256, CHUNK)
+        contribute = s_incl >= LOG_T_EPS                # monotone ⇒ no cummax
+        s_excl = s_incl - log1m
+        w = jnp.where(contribute, alpha * jnp.exp(s_excl), 0.0)
+
+        payload = d[6:14, :]                            # (8, CHUNK)
+        accum = accum + jax.lax.dot_general(
+            w, payload, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (256, 8)
+        n_contrib = n_contrib + jnp.sum(
+            contribute.astype(jnp.float32), axis=1, keepdims=True)
+        log_t = log_t + jnp.sum(jnp.where(contribute, log1m, 0.0),
+                                axis=1, keepdims=True)
+        return k + 1, log_t, accum, n_contrib
+
+    def cond(state):
+        k, log_t, _, _ = state
+        return (k < n_chunks) & (jnp.max(log_t) >= LOG_T_EPS)
+
+    init = (jnp.asarray(0, jnp.int32),
+            jnp.zeros((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 8), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32))
+    k, log_t, accum, n_contrib = jax.lax.while_loop(cond, body, init)
+
+    # background composite on the color channels
+    t_final = jnp.exp(log_t)                            # (256, 1)
+    bg = bg_ref[0:1, :]                                 # (1, 8); zeros past C
+    color = accum + t_final * bg                        # (256, 8)
+    # pack outputs (8 rows kept: payload(≤8 incl invd/depth); rows 6,7 of
+    # payload are invd/depth when C=3... we emit [accum+bg (8)] then log_t
+    # and n_contrib in dedicated rows of a second write
+    out_ref[0, :, 0:8] = color
+    out_ref[0, :, 8:9] = log_t
+    out_ref[0, :, 9:10] = n_contrib
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "max_pairs",
+                                             "n_payload", "max_chunks"))
+def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
+                             background, width: int, height: int,
+                             max_pairs: int, n_payload: int,
+                             max_chunks: int = 4096):
+    """pair_data: (16, max_pairs); returns (num_tiles, 256, 16) with
+    columns [blend(8) incl bg-composited colors, log_t, n_contrib, 0...]."""
+    grid_x, grid_y = tile_grid(width, height, TILE)
+    num_tiles = grid_x * grid_y
+
+    bg = jnp.zeros((1, 8), jnp.float32)
+    bg = bg.at[0, :background.shape[0]].set(background)
+
+    kernel = functools.partial(_fwd_kernel, num_tiles, grid_x, max_chunks,
+                               n_payload)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # pairs stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bg
+        ],
+        out_specs=pl.BlockSpec((1, PIX, 16), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, DROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(tile_starts, tile_counts, pair_data, bg)
+    return out
+
+
+def unpack_tiles(out, width: int, height: int, channels: int):
+    """(num_tiles, 256, 16) → dict of image-shaped outputs."""
+    grid_x, grid_y = tile_grid(width, height, TILE)
+    img = out.reshape(grid_y, grid_x, TILE, TILE, 16)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE,
+                                               16)
+    img = img[:height, :width]
+    C = channels
+    return {
+        "color": img[..., :C],
+        "invdepth": img[..., C],
+        "depth": img[..., C + 1],
+        "log_t": img[..., 8],
+        "n_contrib": img[..., 9],
+    }
