@@ -164,6 +164,12 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload,
             jnp.zeros((PIX, 1), jnp.float32))
     k, log_t, accum, n_contrib = jax.lax.while_loop(cond, body, init)
 
+    # Early exit leaves the prefetched next-chunk DMA in flight; drain it so
+    # the next grid step's scratch/semaphore state is clean.
+    @pl.when(k < n_chunks)
+    def _():
+        dma(k % 2, k).wait()
+
     # background composite on the color channels
     t_final = jnp.exp(log_t)                            # (256, 1)
     bg = bg_ref[0:1, :]                                 # (1, 8); zeros past C

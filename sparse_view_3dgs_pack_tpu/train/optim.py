@@ -123,6 +123,38 @@ def zero_adam_param(state: AdamState, name: str) -> AdamState:
     return AdamState(m=m, v=v, step=state.step)
 
 
+class TreeAdam(NamedTuple):
+    """Generic pytree Adam (neural-field params etc.)."""
+    m: object
+    v: object
+    step: jnp.ndarray
+
+
+def init_tree_adam(params) -> TreeAdam:
+    return TreeAdam(m=jax.tree.map(jnp.zeros_like, params),
+                    v=jax.tree.map(jnp.zeros_like, params),
+                    step=jnp.zeros((), jnp.int32))
+
+
+def tree_adam_update(params, grads, state: TreeAdam, lr_tree,
+                     eps: float = EPS):
+    """lr_tree: matching pytree of scalars, or a single scalar."""
+    step = state.step + 1
+    t = step.astype(jnp.float32)
+    bc1 = 1.0 - BETA1 ** t
+    bc2 = 1.0 - BETA2 ** t
+    new_m = jax.tree.map(lambda m, g: BETA1 * m + (1 - BETA1) * g,
+                         state.m, grads)
+    new_v = jax.tree.map(lambda v, g: BETA2 * v + (1 - BETA2) * g * g,
+                         state.v, grads)
+    if jax.tree_util.treedef_is_leaf(jax.tree.structure(lr_tree)):
+        lr_tree = jax.tree.map(lambda _: lr_tree, params)
+    new_params = jax.tree.map(
+        lambda p, m, v, lr: p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps),
+        params, new_m, new_v, lr_tree)
+    return new_params, TreeAdam(m=new_m, v=new_v, step=step)
+
+
 class ExposureAdam(NamedTuple):
     m: jnp.ndarray
     v: jnp.ndarray

@@ -1,0 +1,170 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_view_3dgs_pack_tpu import testing
+from sparse_view_3dgs_pack_tpu.models import gaussians as gm
+from sparse_view_3dgs_pack_tpu.ops.rasterize_tiles import RasterConfig
+
+
+def _state_and_bank(n=150, cap=512, W=48, H=32, use_nir=False, seed=0,
+                    with_depth=False):
+    from sparse_view_3dgs_pack_tpu.train.step import CameraBank
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    cols = rng.random((n, 3)).astype(np.float32)
+    state = gm.create_from_pcd(pts, cols, n_images=3, sh_degree=2,
+                               capacity=cap, use_nir=use_nir)
+    cams = testing.make_orbit_cameras(3, radius=3.5, width=W, height_px=H)
+    for c in cams:
+        c.image = rng.random((H, W, 3)).astype(np.float32)
+        c.alpha_mask = np.ones((H, W), np.float32)
+        if with_depth:
+            c.invdepthmap = rng.random((H, W)).astype(np.float32) * 100
+            c.depth_mask = np.ones((H, W), np.float32)
+            c.depth_reliable = True
+        if use_nir:
+            c.nir = rng.random((H, W)).astype(np.float32)
+    bank = CameraBank.from_cameras(cams)
+    return state, bank, cams
+
+
+CFG = RasterConfig(max_pairs=1 << 13, max_per_tile=256, tile_batch=6)
+
+
+def test_hashgrid_encode():
+    from sparse_view_3dgs_pack_tpu.ops.hashgrid import (HashGridConfig,
+                                                        hashgrid_encode,
+                                                        init_hashgrid)
+
+    cfg = HashGridConfig(num_levels=4, level_dim=2, base_resolution=4,
+                         log2_hashmap_size=10, desired_resolution=32)
+    table = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-1,
+                           maxval=1)
+    out = hashgrid_encode(table, x, cfg)
+    assert out.shape == (32, 8)
+    # continuity: nearby points → nearby encodings
+    out2 = hashgrid_encode(table, x + 1e-4, cfg)
+    assert float(jnp.abs(out - out2).max()) < 1e-2
+    # differentiable w.r.t. table
+    g = jax.grad(lambda t: hashgrid_encode(t, x, cfg).sum())(table)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_sh_encode_matches_eval_sh_dims():
+    from sparse_view_3dgs_pack_tpu.ops.shencode import sh_encode
+
+    d = jax.random.normal(jax.random.PRNGKey(0), (10, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    out = sh_encode(d, degree=4)
+    assert out.shape == (10, 16)
+    # degree-0 term is the constant
+    np.testing.assert_allclose(out[:, 0], 0.28209479, atol=1e-6)
+
+
+def test_neural_field_forward():
+    from sparse_view_3dgs_pack_tpu.models.neural_field import (
+        NeuralFieldConfig, init_neural_field, neural_forward)
+    from sparse_view_3dgs_pack_tpu.ops.hashgrid import HashGridConfig
+
+    cfg = NeuralFieldConfig(grid=HashGridConfig(num_levels=4,
+                                                log2_hashmap_size=10,
+                                                desired_resolution=64))
+    params = init_neural_field(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (20, 3), minval=-1,
+                           maxval=1)
+    d = jax.random.normal(jax.random.PRNGKey(2), (20, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    sigma, color = neural_forward(params, x, d, cfg)
+    assert sigma.shape == (20,)
+    assert color.shape == (20, 3)
+    assert (np.asarray(color) > -0.0011).all()
+    assert (np.asarray(color) < 1.0011).all()
+
+
+def test_fsgs_step_runs_and_learns():
+    from sparse_view_3dgs_pack_tpu.train.fsgs_loop import FSGSConfig, fsgs_step
+
+    state, bank, _ = _state_and_bank(with_depth=True)
+    from sparse_view_3dgs_pack_tpu.train.optim import init_adam
+    adam = init_adam(state.params)
+    cfg = FSGSConfig(width=48, height=32, sh_degree=2, raster=CFG)
+    lrs = {k: jnp.asarray(1e-2) for k in state.params}
+    losses = []
+    for i in range(8):
+        state, adam, m = fsgs_step(state, adam, bank,
+                                   jnp.asarray(i % 3, jnp.int32), lrs,
+                                   jnp.asarray(0.05), jnp.asarray(1, jnp.int32),
+                                   jnp.zeros(3), cfg)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert float(state.denom.max()) > 0  # stats accumulated
+
+
+def test_fsgs_proximity():
+    from sparse_view_3dgs_pack_tpu.train.fsgs_loop import proximity_candidates
+
+    state, _, _ = _state_and_bank()
+    mask, idx, dist = proximity_candidates(state, jnp.asarray(1e-6))
+    assert mask.shape == (state.capacity,)
+    assert idx.shape == (state.capacity, 3)
+
+
+def test_dng_step_runs():
+    from sparse_view_3dgs_pack_tpu.models.neural_field import (
+        NeuralFieldConfig, init_neural_field)
+    from sparse_view_3dgs_pack_tpu.ops.hashgrid import HashGridConfig
+    from sparse_view_3dgs_pack_tpu.train.dng_loop import DNGConfig, dng_step
+    from sparse_view_3dgs_pack_tpu.train.optim import (init_adam,
+                                                       init_tree_adam)
+    from sparse_view_3dgs_pack_tpu.train.dng_loop import neural_lr_tree
+
+    state, bank, _ = _state_and_bank(with_depth=True)
+    adam = init_adam(state.params)
+    ncfg = NeuralFieldConfig(grid=HashGridConfig(num_levels=4,
+                                                 log2_hashmap_size=10,
+                                                 desired_resolution=64))
+    nparams = init_neural_field(jax.random.PRNGKey(0), ncfg)
+    nadam = init_tree_adam(nparams)
+    nlrs = neural_lr_tree(nparams, 5e-3, 5e-4)
+    cfg = DNGConfig(width=48, height=32, sh_degree=2, raster=CFG,
+                    neural=ncfg, use_soft=True, use_smooth=True)
+    lrs = {k: jnp.asarray(1e-3) for k in state.params}
+    xyz0 = np.asarray(state.params["xyz"][:10]).copy()
+    for i in range(3):
+        state, nparams, adam, nadam, m = dng_step(
+            state, nparams, adam, nadam, bank, jnp.asarray(0, jnp.int32),
+            jnp.asarray(i % 12, jnp.int32), lrs, nlrs,
+            jnp.asarray(1, jnp.int32), jnp.zeros(3), cfg)
+    assert np.isfinite(float(m["loss"]))
+    # all three passes move params: xyz moved (hard+photo), neural moved
+    assert not np.allclose(np.asarray(state.params["xyz"][:10]), xyz0)
+
+
+def test_nir_step_runs():
+    from sparse_view_3dgs_pack_tpu.train.nir_loop import NIRConfig, nir_step
+    from sparse_view_3dgs_pack_tpu.train.optim import init_adam
+    from sparse_view_3dgs_pack_tpu.train.step import StepConfig
+
+    state, bank, _ = _state_and_bank(use_nir=True)
+    adam = init_adam(state.params)
+    base = StepConfig(width=48, height=32, sh_degree=2, raster=CFG,
+                      dwt_enable=True, patch_dwt_enable=True, patch_size=16)
+    cfg = NIRConfig(base=base, nir_weight=0.5)
+    lrs = {k: jnp.asarray(1e-2) for k in state.params}
+    carry = jnp.ones(())
+    gain0 = float(state.params["nir_gain"][0])
+    for i in range(6):
+        state, adam, carry, m = nir_step(state, adam, carry, bank,
+                                         jnp.asarray(i % 3, jnp.int32), lrs,
+                                         jnp.asarray(1, jnp.int32),
+                                         jnp.zeros(3), cfg)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["nir"]) > 0
+    # NIR gradient path reaches the albedo/gain params
+    assert float(state.params["nir_gain"][0]) != gain0
