@@ -87,6 +87,10 @@ def main(argv=None):
     parser.add_argument("--model_paths", "-m", required=True, nargs="+",
                         type=str)
     args = parser.parse_args(argv)
+    import os as _os
+    if _os.environ.get("GS_FORCE_CPU"):
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
     evaluate(args.model_paths)
 
 

@@ -75,6 +75,10 @@ def main(argv=None):
     parser.add_argument("--fps", default=30, type=int)
     args = get_combined_args(parser, argv)
     print("Rendering " + args.model_path)
+    import os as _os
+    if _os.environ.get("GS_FORCE_CPU"):
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 

@@ -1,0 +1,322 @@
+"""fs3dgs-compatible benchmark harness.
+
+Same contracts as the reference `fs3dgs_benchmark/benchmark.py:135-474`:
+YAML config with `defaults / scenes / models / grid / overrides`, `${a.b.c}`
+interpolation, per-model `arg_map` flag whitelists, optional pre-written
+`cfg_args`, run tags `scene__model__shX__itY__seedZ`, train/render/metrics
+subprocesses with per-stage logs, PSNR log-scrape, results.json merge,
+`summary.csv` and LaTeX/PNG tables. Model entries may point at this repo's
+`train.py` (with `--method`) or at any external repo with the same CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import datetime
+import itertools
+import json
+import os
+import re
+import shlex
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import yaml
+
+from .bench_tables import BenchTables
+
+
+def slug(s: str) -> str:
+    s = re.sub(r"[^a-z0-9._-]+", "-", s.strip().lower())
+    return re.sub(r"-{2,}", "-", s).strip("-") or "run"
+
+
+def deep_merge(a, b):
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = deep_merge(a.get(k), v)
+        return out
+    return b if b is not None else a
+
+
+def resolve_refs(obj, ctx):
+    """Resolve ${a.b.c} references (embedded or whole-string)."""
+    def lookup(path):
+        cur = ctx
+        for p in path.split("."):
+            cur = cur[p]
+        return cur
+
+    def rv(v):
+        if isinstance(v, str):
+            return re.sub(r"\$\{([^}]+)\}", lambda m: str(lookup(m.group(1))),
+                          v)
+        return v
+
+    if isinstance(obj, dict):
+        return {k: resolve_refs(rv(v), ctx) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [resolve_refs(rv(v), ctx) for v in obj]
+    return rv(obj)
+
+
+def flatten_repo_args(args_dict):
+    flat = {}
+    for k, v in args_dict.items():
+        if isinstance(v, dict):
+            flat.update(v)
+        else:
+            flat[k] = v
+    return flat
+
+
+def build_cli_args(arg_map, flat_args):
+    cli = []
+    for norm_key, cli_name in arg_map.items():
+        if norm_key not in flat_args:
+            continue
+        value = flat_args[norm_key]
+        flag = f"--{cli_name}"
+        if isinstance(value, bool):
+            if value:
+                cli.append(flag)
+        elif isinstance(value, list):
+            cli.append(flag)
+            cli.extend(str(x) for x in value)
+        elif value is None:
+            continue
+        else:
+            cli += [flag, str(value)]
+    return cli
+
+
+def as_namespace_string(dflat, allowed_keys=None):
+    if allowed_keys is not None:
+        dflat = {k: v for k, v in dflat.items() if k in allowed_keys}
+    return "Namespace(" + ", ".join(f"{k}={v!r}" for k, v in dflat.items()) \
+        + ")"
+
+
+def expand_grid(grid):
+    if not grid:
+        return [{}]
+    keys = list(grid)
+    return [dict(zip(keys, combo))
+            for combo in itertools.product(*(grid[k] for k in keys))]
+
+
+def build_runs(cfg, out_root: Path, python: str):
+    ctx = {"defaults": cfg.get("defaults", {}), "scenes": {}}
+    scenes = []
+    user_scenes = cfg.get("scenes") or []
+    if user_scenes and any(("name" in s or "source_path" in s)
+                           for s in user_scenes):
+        for s in user_scenes:
+            s = resolve_refs(s, ctx)
+            scenes.append({"name": s["name"], "source_path": s["source_path"]})
+    else:
+        root = Path(cfg["defaults"]["dataset_root"]).expanduser().resolve()
+        for sub in sorted(root.iterdir()):
+            if sub.is_dir():
+                scenes.append({"name": sub.name, "source_path": str(sub)})
+
+    runs = []
+    for scene in scenes:
+        for model in cfg.get("models", []):
+            model_name = model["name"]
+            ov = (cfg.get("overrides") or {}).get(model_name, {}).get(
+                scene["name"], {})
+            base_args = deep_merge(cfg["defaults"].get("common_args", {}),
+                                   model.get("args", {}))
+            base_args["source_path"] = scene["source_path"]
+            for grid_vars in expand_grid(cfg.get("grid", {})):
+                seeds = grid_vars.get("seeds",
+                                      cfg["defaults"].get("seeds", [42]))
+                for seed in (seeds if isinstance(seeds, list) else [seeds]):
+                    merged = deep_merge(deep_merge(base_args, grid_vars),
+                                        ov.get("args", {}))
+                    merged["seed"] = seed
+                    flat = flatten_repo_args(merged)
+                    tag = (f"{scene['name']}__{model_name}"
+                           f"__sh{flat.get('sh_degree', 'NA')}"
+                           f"__it{flat.get('iterations', 'NA')}__seed{seed}")
+                    run_dir = (out_root / tag).resolve()
+                    model_path = run_dir / "model"
+                    log_dir = run_dir / "logs"
+                    model_path.mkdir(parents=True, exist_ok=True)
+                    log_dir.mkdir(parents=True, exist_ok=True)
+                    flat["model_path"] = str(model_path)
+                    flat["source_path"] = str(
+                        Path(scene["source_path"]).resolve())
+
+                    repo_dir = Path(model.get("repo_dir", ".")).resolve()
+                    entry = (repo_dir / model.get("entry", "train.py"))
+                    arg_map = model.get("arg_map", {})
+                    if model.get("needs_cfg_args_file", False):
+                        with open(model_path / "cfg_args", "w") as f:
+                            f.write(as_namespace_string(
+                                flat, allowed_keys=set(arg_map)))
+                    cli = build_cli_args(arg_map, flat)
+                    if model.get("method"):
+                        cli = ["--method", str(model["method"])] + cli
+                    runs.append({
+                        "tag": tag,
+                        "scene": scene["name"],
+                        "model": model_name,
+                        "cmd": [python, str(entry)] + cli,
+                        "env": deep_merge(os.environ.copy(),
+                                          cfg["defaults"].get("env", {})),
+                        "repo_dir": str(repo_dir),
+                        "log_path": str(log_dir / "train.log"),
+                        "result_path": str(run_dir / "result.json"),
+                        "seed": seed,
+                        "args_flat": flat,
+                        "model_cfg": model,
+                    })
+    return runs
+
+
+def _subprocess_stage(cmd, cwd, env, log_path, label, tag):
+    print(f"\n[{label}] Running for {tag}")
+    print("CMD:", " ".join(shlex.quote(x) for x in cmd))
+    with open(log_path, "w") as logf:
+        t0 = time.time()
+        proc = subprocess.Popen(cmd, cwd=cwd, env=env, stdout=logf,
+                                stderr=subprocess.STDOUT)
+        code = proc.wait()
+        dur = time.time() - t0
+    print(f"[{label}] Finished {tag} in {dur:.2f}s, exit={code}")
+    return code, dur
+
+
+def execute_runs(runs, cfg, out_root: Path, python: str, dry=False):
+    summary_rows = []
+    for r in runs:
+        print("\n==> Running:", r["tag"])
+        print("CMD:", " ".join(shlex.quote(x) for x in r["cmd"]))
+        if dry:
+            continue
+        code, dur = _subprocess_stage(r["cmd"], r["repo_dir"], r["env"],
+                                      r["log_path"], "Train", r["tag"])
+        metrics = {"exit_code": code, "duration_sec": round(dur, 2)}
+        try:
+            log_txt = open(r["log_path"]).read()
+            m = re.findall(r"PSNR[:=]?\s*([0-9.]+)", log_txt)
+            if m:
+                metrics["psnr"] = float(m[-1])
+        except OSError:
+            pass
+        with open(r["result_path"], "w") as f:
+            json.dump(metrics, f, indent=2)
+
+        model_cfg = r["model_cfg"]
+        defaults = cfg.get("defaults", {})
+        model_path = r["args_flat"]["model_path"]
+        source_path = r["args_flat"]["source_path"]
+
+        if model_cfg.get("run_render", defaults.get("run_render", False)):
+            cmd = [python, model_cfg.get("render_entry", "render.py"),
+                   "--model_path", model_path,
+                   "--source_path", source_path, "--eval"]
+            _subprocess_stage(cmd, r["repo_dir"], r["env"],
+                              str(Path(r["log_path"]).with_name("render.log")),
+                              "Render", r["tag"])
+
+        if model_cfg.get("run_metrics", defaults.get("run_metrics", False)):
+            it_str = str(r["args_flat"].get("iterations", -1))
+            if r["model"].lower() == "fsgs" and model_cfg.get(
+                    "fsgs_metrics_shape", False):
+                cmd = [python, model_cfg.get("metrics_entry", "metrics.py"),
+                       "--model_path", model_path,
+                       "--source_path", source_path, "--iteration", it_str]
+            else:
+                cmd = [python, model_cfg.get("metrics_entry", "metrics.py"),
+                       "--model_paths", model_path]
+            _subprocess_stage(cmd, r["repo_dir"], r["env"],
+                              str(Path(r["log_path"]).with_name("metrics.log")),
+                              "Metrics", r["tag"])
+
+            for k in ("psnr", "ssim", "lpips"):
+                metrics.setdefault(k, None)
+            try:
+                method = f"ours_{r['args_flat'].get('iterations', 'NA')}"
+                rp = Path(model_path) / "results.json"
+                if rp.exists():
+                    data = json.load(open(rp))
+                    block = data.get(method) or (
+                        next(iter(data.values())) if data else None)
+                    if isinstance(block, dict):
+                        for src, dst in (("PSNR", "psnr"), ("SSIM", "ssim"),
+                                         ("LPIPS", "lpips")):
+                            if src in block:
+                                metrics[dst] = float(block[src])
+            except Exception:
+                pass
+
+        with open(r["result_path"], "w") as f:
+            json.dump(metrics, f, indent=2)
+        summary_rows.append({"tag": r["tag"], "scene": r["scene"],
+                             "model": r["model"], "seed": r["seed"],
+                             **metrics})
+        print(f"\n[Done] Completed full pipeline for {r['tag']}")
+    return summary_rows
+
+
+def write_summary(summary_rows, out_root: Path):
+    fieldnames = ["tag", "scene", "model", "seed", "exit_code",
+                  "duration_sec", "psnr", "ssim", "lpips"]
+    for row in summary_rows:
+        for k in fieldnames:
+            row.setdefault(k, None)
+    csv_path = out_root / "summary.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fieldnames)
+        w.writeheader()
+        w.writerows(summary_rows)
+    print(f"[Summary] Wrote per-run summary to: {csv_path}")
+    try:
+        tables_dir = BenchTables(summary_rows).export(out_root)
+        print(f"[Tables] Wrote LaTeX + PNG tables to: {tables_dir}")
+    except Exception as e:
+        print("[Tables] Skipped (export error):", e)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", default="config.yaml")
+    ap.add_argument("--python", default=sys.executable)
+    ap.add_argument("--dry", action="store_true")
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        raw = yaml.safe_load(f)
+    cfg = resolve_refs(raw, {"defaults": raw.get("defaults", {}),
+                             "scenes": {}})
+
+    base_out = Path(cfg["defaults"].get("out_root",
+                                        "./bench_runs")).expanduser().resolve()
+    base_out.mkdir(parents=True, exist_ok=True)
+    run_desc = cfg["defaults"].get("run_desc", "")
+    stamp = f"{datetime.datetime.now():%Y-%m-%d_%H-%M-%S}"
+    run_id = f"{stamp}_{slug(run_desc)}" if run_desc else stamp
+    out_root = base_out / run_id
+    out_root.mkdir(parents=True, exist_ok=True)
+    try:
+        shutil.copy2(args.config, out_root / "config.yaml")
+    except OSError:
+        pass
+
+    runs = build_runs(cfg, out_root, args.python)
+    summary_rows = execute_runs(runs, cfg, out_root, args.python,
+                                dry=args.dry)
+    if not args.dry and summary_rows:
+        write_summary(summary_rows, out_root)
+
+
+if __name__ == "__main__":
+    main()

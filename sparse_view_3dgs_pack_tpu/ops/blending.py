@@ -16,13 +16,15 @@ the α≤0.99 clamp, and the T<1e-4 stop — while being fully vectorisable and
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 ALPHA_EPS = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
-_LOG_T_EPS = float(jnp.log(1e-4))
+_LOG_T_EPS = math.log(1e-4)
 
 
 def alpha_from_power(power, opacity):

@@ -46,7 +46,8 @@ def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
                 confidence=None,
                 opacity_override=None,
                 viewspace_offset=None,
-                clamp: bool = True) -> RenderResult:
+                clamp: bool = True,
+                use_pallas: bool = False) -> RenderResult:
     """Differentiable core — fully traceable; all array args may be traced.
 
     `confidence`: per-Gaussian gradient scale (FSGS N2 semantics) applied via
@@ -98,12 +99,32 @@ def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
         antialiasing=antialiasing)
     proj = proj._replace(means2d=proj.means2d + viewspace_offset)
 
-    binning = bin_gaussians(
-        jax.lax.stop_gradient(proj.means2d),
-        jax.lax.stop_gradient(proj.depths), proj.radii,
-        width, height, config.max_pairs, config.tile)
-    out = rasterize_binned(proj, binning, width, height,
-                           jnp.asarray(bg_color), config)
+    if use_pallas:
+        from .ops.binning import bin_gaussians_aligned
+        from .ops.pallas.raster import (pack_pair_data,
+                                        rasterize_forward_pallas,
+                                        unpack_tiles)
+        C = proj.colors.shape[-1]
+        ba = bin_gaussians_aligned(
+            jax.lax.stop_gradient(proj.means2d),
+            jax.lax.stop_gradient(proj.depths), proj.radii,
+            width, height, config.max_pairs, config.tile)
+        pd = pack_pair_data(proj, ba.ids)
+        raw = rasterize_forward_pallas(pd, ba.tile_starts, ba.tile_counts,
+                                       jnp.asarray(bg_color), width, height,
+                                       config.max_pairs, C + 2)
+        u = unpack_tiles(raw, width, height, C)
+        from .ops.rasterize_ref import RenderOutputs
+        out = RenderOutputs(color=u["color"], alpha=1.0 - jnp.exp(u["log_t"]),
+                            invdepth=u["invdepth"], depth=u["depth"])
+        binning = ba
+    else:
+        binning = bin_gaussians(
+            jax.lax.stop_gradient(proj.means2d),
+            jax.lax.stop_gradient(proj.depths), proj.radii,
+            width, height, config.max_pairs, config.tile)
+        out = rasterize_binned(proj, binning, width, height,
+                               jnp.asarray(bg_color), config)
 
     image = out.color
     if use_trained_exp:
@@ -122,8 +143,14 @@ def render(state: gm.GaussianState, camera, bg_color,
            scaling_modifier: float = 1.0, antialiasing: bool = False,
            use_trained_exp: bool = False, exposure_idx: int = 0,
            config: Optional[RasterConfig] = None,
-           override_color=None) -> RenderResult:
-    """Host-friendly wrapper: takes a data.cameras.Camera (or MiniCam)."""
+           override_color=None, use_pallas: Optional[bool] = None) -> RenderResult:
+    """Host-friendly wrapper: takes a data.cameras.Camera (or MiniCam).
+
+    Inference rendering defaults to the Pallas kernel on TPU and the XLA
+    tiled path elsewhere."""
+    if use_pallas is None:
+        import jax as _jax
+        use_pallas = _jax.default_backend() not in ("cpu",)
     if config is None:
         config = default_raster_config(state.capacity, camera.width,
                                        camera.height)
@@ -136,18 +163,21 @@ def render(state: gm.GaussianState, camera, bg_color,
                        camera.width, camera.height,
                        jnp.asarray(bg_color, jnp.float32),
                        sh_degree_active, config, scaling_modifier,
-                       antialiasing, use_trained_exp, override_color)
+                       antialiasing, use_trained_exp, override_color,
+                       use_pallas)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "sh_degree_active",
                                    "config", "scaling_modifier",
-                                   "antialiasing", "use_trained_exp"))
+                                   "antialiasing", "use_trained_exp",
+                                   "use_pallas"))
 def _render_jit(params, alive, exposure_mat, cam, width, height, bg_color,
                 sh_degree_active, config, scaling_modifier, antialiasing,
-                use_trained_exp, override_color):
+                use_trained_exp, override_color, use_pallas=False):
     return render_core(params, alive, exposure_mat, cam, width, height,
                        bg_color, sh_degree_active, config, scaling_modifier,
-                       antialiasing, use_trained_exp, override_color)
+                       antialiasing, use_trained_exp, override_color,
+                       use_pallas=use_pallas)
 
 
 def default_raster_config(capacity: int, width: int, height: int,

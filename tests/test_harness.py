@@ -1,0 +1,144 @@
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_config(tmp_path, scene_dir, iters=20):
+    cfg = {
+        "defaults": {
+            "env": {"GS_FORCE_CPU": "1",
+                    "XLA_FLAGS": "--xla_force_host_platform_device_count=1"},
+            "common_args": {"disable_viewer": True, "quiet": True},
+            "dataset_root": str(tmp_path / "data"),
+            "out_root": str(tmp_path / "bench_runs"),
+            "seeds": [42],
+            "run_render": True,
+            "run_metrics": True,
+            "run_desc": "test",
+        },
+        "scenes": [{"name": "synth", "source_path": scene_dir}],
+        "models": [{
+            "name": "3dgs",
+            "repo_dir": REPO,
+            "entry": "./train.py",
+            "render_entry": "./render.py",
+            "metrics_entry": "./metrics.py",
+            "method": "3dgs",
+            "arg_map": {
+                "source_path": "source_path",
+                "model_path": "model_path",
+                "sh_degree": "sh_degree",
+                "iterations": "iterations",
+                "test_iterations": "test_iterations",
+                "save_iterations": "save_iterations",
+                "eval": "eval",
+                "quiet": "quiet",
+                "disable_viewer": "disable_viewer",
+            },
+            "args": {
+                "iterations": iters,
+                "sh_degree": 1,
+                "test_iterations": [iters],
+                "save_iterations": [iters],
+                "eval": False,
+            },
+        }],
+        "grid": {},
+        "overrides": {},
+    }
+    path = tmp_path / "config.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    from sparse_view_3dgs_pack_tpu import testing
+    root = str(tmp_path_factory.mktemp("bench_scene"))
+    testing.write_blender_scene(root, n_train=3, n_test=1, width=32)
+    return root
+
+
+def test_yaml_resolution_and_dry_run(tmp_path, scene_dir, capsys):
+    from sparse_view_3dgs_pack_tpu.benchmark.benchmark import main
+
+    cfg_path = _write_config(tmp_path, scene_dir)
+    main(["-c", cfg_path, "--dry"])
+    out = capsys.readouterr().out
+    assert "synth__3dgs__sh1__it20__seed42" in out
+    assert "--method 3dgs" in out
+    assert "--iterations 20" in out
+
+
+def test_ref_interpolation():
+    from sparse_view_3dgs_pack_tpu.benchmark.benchmark import (deep_merge,
+                                                               resolve_refs)
+
+    ctx = {"defaults": {"dataset_root": "/data", "n": 3}}
+    obj = {"a": "${defaults.dataset_root}/fern", "b": ["x${defaults.n}"]}
+    out = resolve_refs(obj, ctx)
+    assert out["a"] == "/data/fern"
+    assert out["b"] == ["x3"]
+    merged = deep_merge({"a": 1, "c": {"x": 1}}, {"b": 2, "c": {"y": 2}})
+    assert merged == {"a": 1, "b": 2, "c": {"x": 1, "y": 2}}
+
+
+def test_build_cli_args():
+    from sparse_view_3dgs_pack_tpu.benchmark.benchmark import build_cli_args
+
+    arg_map = {"iterations": "iterations", "eval": "eval",
+               "test_iterations": "test_iterations", "quiet": "quiet"}
+    flat = {"iterations": 100, "eval": True, "test_iterations": [5, 10],
+            "quiet": False, "seed": 42}
+    cli = build_cli_args(arg_map, flat)
+    assert cli == ["--iterations", "100", "--eval", "--test_iterations",
+                   "5", "10"]
+
+
+@pytest.mark.slow
+def test_harness_end_to_end(tmp_path, scene_dir):
+    from sparse_view_3dgs_pack_tpu.benchmark.benchmark import main
+
+    cfg_path = _write_config(tmp_path, scene_dir, iters=20)
+    main(["-c", cfg_path])
+    run_dirs = list((tmp_path / "bench_runs").iterdir())
+    assert len(run_dirs) == 1
+    run_root = run_dirs[0]
+    summary = (run_root / "summary.csv").read_text()
+    assert "synth" in summary and "3dgs" in summary
+    result = json.load(open(run_root / "synth__3dgs__sh1__it20__seed42"
+                            / "result.json"))
+    assert result["exit_code"] == 0, result
+    assert (run_root / "tables" / "combined.tex").exists()
+    # render stage produced images
+    model_dir = run_root / "synth__3dgs__sh1__it20__seed42" / "model"
+    renders = model_dir / "train" / "ours_20" / "renders"
+    assert renders.exists() and len(list(renders.iterdir())) == 3
+    # metrics wrote results.json
+    assert (model_dir / "results.json").exists() or result["psnr"] is not None
+
+
+def test_bench_tables_export(tmp_path):
+    from sparse_view_3dgs_pack_tpu.benchmark.bench_tables import BenchTables
+
+    rows = [
+        {"tag": "a__m1", "scene": "a", "model": "m1", "seed": 1,
+         "psnr": 20.0, "ssim": 0.8, "lpips": 0.3, "duration_sec": 10,
+         "exit_code": 0},
+        {"tag": "a__m2", "scene": "a", "model": "m2", "seed": 1,
+         "psnr": 22.0, "ssim": 0.85, "lpips": 0.25, "duration_sec": 12,
+         "exit_code": 0},
+    ]
+    out = BenchTables(rows).export(tmp_path)
+    tex = (out / "psnr.tex").read_text()
+    assert "m1" in tex and "m2" in tex
+    assert "\\textbf{22.000}" in tex
+    assert (out / "combined.tex").exists()

@@ -46,6 +46,8 @@ def main(argv=None):
     print("Optimizing " + args.model_path)
 
     import jax
+    if args.data_device == "cpu" or os.environ.get("GS_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
 
