@@ -42,21 +42,27 @@ LOG_T_EPS = math.log(1e-4)
 
 
 def pack_pair_data(proj, ids) -> jnp.ndarray:
+    return pack_fields(proj.means2d, proj.depths, proj.conics, proj.colors,
+                       proj.opacities, ids)
+
+
+def pack_fields(means2d, depths, conics, colors, opacities,
+                ids) -> jnp.ndarray:
     """Gather per-pair Gaussian data → (16, max_pairs) f32.
 
     Rows: 0 mx, 1 my, 2 conic a, 3 conic b, 4 conic c, 5 opacity,
           6..6+C-1 colors, 6+C invdepth, 7+C depth, rest zero.
     """
-    C = proj.colors.shape[-1]
+    C = colors.shape[-1]
     assert C <= 8, "payload supports up to 8 color channels"
-    safe_depth = jnp.where(jnp.isfinite(proj.depths), proj.depths, 1.0)
+    safe_depth = jnp.where(jnp.isfinite(depths), depths, 1.0)
     valid = (ids >= 0).astype(jnp.float32)
     ids_c = jnp.maximum(ids, 0)
-    rows = [proj.means2d[:, 0], proj.means2d[:, 1],
-            proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
-            proj.opacities]
+    rows = [means2d[:, 0], means2d[:, 1],
+            conics[:, 0], conics[:, 1], conics[:, 2],
+            opacities]
     for c in range(C):
-        rows.append(proj.colors[:, c])
+        rows.append(colors[:, c])
     rows.append(1.0 / safe_depth)
     rows.append(safe_depth)
     data = jnp.stack(rows, axis=0)                     # (6+C+2, P)

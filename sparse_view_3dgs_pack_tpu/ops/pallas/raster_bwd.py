@@ -1,0 +1,249 @@
+"""Pallas backward kernel + custom-VJP wrapper for the rasterizer.
+
+The CUDA backward (`backward.cu:454-637`) walks pairs back-to-front per pixel
+and scatters per-Gaussian gradients with atomicAdd. The TPU version is
+deterministic by construction:
+
+* per tile, chunks are visited in REVERSE order; within a chunk the
+  back-to-front recurrences become reverse cumulative sums (one MXU matmul
+  with a lower-triangular ones matrix):
+      T_j        = exp(log_T_final − revcumsum_incl(log1m)_j − carry)
+      suffix_j   = revcumsum_excl(w·⟨g,payload⟩)_j + carry
+      dL/dα_j    = T_j·⟨g,payload_j⟩ − (suffix_j + T_final·(⟨g,bg⟩ − gα))/(1−α_j)
+* the forward's early-stop is replayed exactly from the saved per-pixel
+  `n_contrib` (contribution is a prefix property because log T is monotone).
+* per-PAIR gradients go to disjoint slots of the sorted pair array (each pair
+  belongs to exactly one tile), and a single `jax.ops.segment_sum` outside
+  the kernel reduces pairs → Gaussians. No atomics anywhere.
+
+Gradient convention notes: the α=0.99 clamp and the α<1/255 / power>0 skips
+carry zero gradient (clamp-aware; the CUDA kernel leaks gradient through the
+0.99 clamp — a negligible, documented divergence).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..binning import Binning, tile_grid
+from .raster import (ALPHA_EPS, ALPHA_MAX, CHUNK, DROWS, LOG_T_EPS, PIX,
+                     TILE, pack_pair_data, rasterize_forward_pallas,
+                     unpack_tiles)
+
+GROWS = 16  # grad rows: mx,my,a,b,c,op,payload(8),pad,pad
+
+
+def _bwd_kernel(grid_x, max_chunks,
+                # scalar prefetch
+                starts_ref, counts_ref,
+                # inputs
+                pairs_hbm, g_ref, aux_ref, gbg_ref,
+                # outputs
+                grads_hbm,
+                # scratch
+                buf, gbuf, sems, osem):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, max_chunks)
+
+    tx = (t % grid_x) * TILE
+    ty = (t // grid_x) * TILE
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    # tile-LOCAL pixel coordinates: keeps the moment expansion
+    # Σq·dx² = R0 − 2m·R3 + m²·R5 well conditioned (global coords lose ~3
+    # digits to cancellation at 1080p)
+    px = (pidx % TILE).astype(jnp.float32)
+    py = (pidx // TILE).astype(jnp.float32)
+    txf = jnp.float32(1.0) * tx
+    tyf = jnp.float32(1.0) * ty
+
+    g = g_ref[0]                      # (256, 8) payload cotangent
+    log_tf = aux_ref[0, :, 0:1]       # (256, 1)
+    n_contrib = aux_ref[0, :, 1:2]    # (256, 1) float
+    g_alpha = aux_ref[0, :, 2:3]      # (256, 1) cotangent of out_alpha
+    t_final = jnp.exp(log_tf)
+    gb = gbg_ref[0:1, :]              # (1, 8) g·bg already contracted? no:
+    gbg = jax.lax.dot_general(g, gbg_ref[:, :],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (256,1)
+    B = t_final * (gbg - g_alpha)     # (256, 1)
+
+    # pixel monomials for the gradient reductions: [x², y², xy, x, y, 1]
+    Fpix = jnp.concatenate([px * px, py * py, px * py, px, py,
+                            jnp.ones_like(px)], axis=1)  # (256, 6)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    tril_incl = (row_i >= col_i).astype(jnp.float32)   # reverse-cumsum incl
+    tril_excl = (row_i > col_i).astype(jnp.float32)    # reverse-cumsum excl
+
+    def dma_in(slot, k):
+        off = pl.multiple_of(start + k * CHUNK, 128)
+        return pltpu.make_async_copy(
+            pairs_hbm.at[:, pl.ds(off, CHUNK)], buf.at[slot], sems.at[slot])
+
+    first = n_chunks - 1  # reverse order
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma_in(0, first).start()
+
+    def body(state):
+        i, c_log, s_carry = state        # i counts processed chunks
+        k = first - i                    # actual chunk index (reverse)
+        slot = i % 2
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            dma_in((i + 1) % 2, k - 1).start()
+
+        dma_in(slot, k).wait()
+        d = buf[slot]                    # (16, CHUNK)
+        mx = d[0:1, :] - txf             # tile-local means
+        my = d[1:2, :] - tyf
+        ca = d[2:3, :]
+        cb = d[3:4, :]
+        cc = d[4:5, :]
+        op = d[5:6, :]
+        payload = d[6:14, :]             # (8, CHUNK)
+
+        dx = px - mx                     # (256, CHUNK)
+        dy = py - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        G = jnp.exp(jnp.minimum(power, 0.0))
+        alpha_raw = op * G
+        clamped = alpha_raw > ALPHA_MAX
+        alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
+        gidx = lane + k * CHUNK
+        contrib = ((gidx.astype(jnp.float32) < n_contrib)
+                   & (power <= 0.0) & (alpha >= ALPHA_EPS)
+                   & (gidx < count))
+        alpha = jnp.where(contrib, alpha, 0.0)
+        log1m = jnp.log1p(-alpha)
+
+        # reverse cumsums along lanes via MXU
+        r_incl = jax.lax.dot_general(log1m, tril_incl,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        T = jnp.exp(log_tf - r_incl - c_log)            # (256, CHUNK)
+        w = alpha * T
+
+        gc = jax.lax.dot_general(g, payload, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        wgc = w * gc                                     # (256, CHUNK)
+        suffix = jax.lax.dot_general(wgc, tril_excl,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) \
+            + s_carry
+        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+        dalpha = jnp.where(contrib, T * gc - (suffix + B) / one_m, 0.0)
+
+        # α = min(0.99, op·G): clamp-aware
+        live = contrib & ~clamped
+        d_op = jnp.where(live, dalpha * G, 0.0)
+        q = jnp.where(live, dalpha * alpha, 0.0)         # dL/dpower
+
+        # per-pair reductions over pixels (MXU): R = Fᵀ q → (6, CHUNK)
+        R = jax.lax.dot_general(Fpix, q, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        R0, R1, R2 = R[0:1, :], R[1:2, :], R[2:3, :]    # (1, CHUNK)
+        R3, R4, R5 = R[3:4, :], R[4:5, :], R[5:6, :]
+        s_qdx = R3 - mx * R5
+        s_qdy = R4 - my * R5
+        s_qdx2 = R0 - 2 * mx * R3 + mx * mx * R5
+        s_qdy2 = R1 - 2 * my * R4 + my * my * R5
+        s_qdxdy = R2 - my * R3 - mx * R4 + mx * my * R5
+
+        d_mx = ca * s_qdx + cb * s_qdy
+        d_my = cc * s_qdy + cb * s_qdx
+        d_a = -0.5 * s_qdx2
+        d_b = -s_qdxdy
+        d_c = -0.5 * s_qdy2
+        d_opacity = jnp.sum(d_op, axis=0, keepdims=True)  # (1, CHUNK)
+        d_payload = jax.lax.dot_general(g, w, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        gbuf[0:1, :] = d_mx
+        gbuf[1:2, :] = d_my
+        gbuf[2:3, :] = d_a
+        gbuf[3:4, :] = d_b
+        gbuf[4:5, :] = d_c
+        gbuf[5:6, :] = d_opacity
+        gbuf[6:14, :] = d_payload                         # (8, CHUNK)
+        gbuf[14:16, :] = jnp.zeros((2, CHUNK), jnp.float32)
+
+        off = pl.multiple_of(start + k * CHUNK, 128)
+        out_cp = pltpu.make_async_copy(
+            gbuf, grads_hbm.at[:, pl.ds(off, CHUNK)], osem)
+        out_cp.start()
+        out_cp.wait()
+
+        new_c_log = c_log + jnp.sum(jnp.where(contrib, log1m, 0.0), axis=1,
+                                    keepdims=True)
+        new_s = s_carry + jnp.sum(wgc, axis=1, keepdims=True)
+        return i + 1, new_c_log, new_s
+
+    def cond(state):
+        i, _, _ = state
+        return i < n_chunks
+
+    init = (jnp.asarray(0, jnp.int32),
+            jnp.zeros((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32))
+    i, _, _ = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(i < n_chunks)
+    def _():
+        dma_in(i % 2, first - i).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "max_chunks"))
+def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
+                              g_payload, aux, g_bg_rows,
+                              width: int, height: int,
+                              max_chunks: int = 4096):
+    """→ per-pair grads (16, n_pairs_buf): rows [mx, my, a, b, c, opacity,
+    payload(8), 0, 0].
+
+    g_payload: (num_tiles, 256, 8) cotangents of the blend channels.
+    aux: (num_tiles, 256, 3) = [log_T_final, n_contrib, g_alpha].
+    g_bg_rows: (8, 8) with bg broadcast? — pass (1, 8) bg row."""
+    grid_x, grid_y = tile_grid(width, height, TILE)
+    num_tiles = grid_x * grid_y
+
+    kernel = functools.partial(_bwd_kernel, grid_x, max_chunks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),               # pairs
+            pl.BlockSpec((1, PIX, 8), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),              # g
+            pl.BlockSpec((1, PIX, 3), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),              # aux
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # bg row
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, DROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((GROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((GROWS, pair_data.shape[1]),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(tile_starts, tile_counts, pair_data, g_payload, aux, g_bg_rows)
+    return out

@@ -1,0 +1,115 @@
+"""Differentiable Pallas rasterizer: custom VJP wiring forward and backward
+kernels, with a deterministic segment-sum pairs→Gaussians reduction.
+
+`make_pallas_rasterizer(width, height)` returns a function
+  f(means2d, depths, conics, colors, opacities, ids, starts, counts, bg)
+    → (color (H,W,C), invdepth, depth, alpha)
+differentiable in all float inputs (ids/starts/counts are integer binning
+outputs). The residuals saved for backward are just the inputs plus the
+per-pixel (log_T_final, n_contrib) maps — everything else is recomputed in
+the backward kernel (CUDA-style, `backward.cu:454-637`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..binning import tile_grid
+from .raster import (PIX, TILE, pack_fields, rasterize_forward_pallas,
+                     unpack_tiles)
+from .raster_bwd import rasterize_backward_pallas
+
+
+def _tile_pack(img, width, height, channels):
+    """(H, W, K) image → (num_tiles, 256, K), zero-padded to tile multiples."""
+    grid_x, grid_y = tile_grid(width, height, TILE)
+    Hp, Wp = grid_y * TILE, grid_x * TILE
+    img = jnp.pad(img, ((0, Hp - height), (0, Wp - width), (0, 0)))
+    img = img.reshape(grid_y, TILE, grid_x, TILE, channels)
+    return img.transpose(0, 2, 1, 3, 4).reshape(grid_y * grid_x, PIX,
+                                                channels)
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_rasterizer(width: int, height: int, channels: int):
+    C = channels
+
+    def fwd_impl(means2d, depths, conics, colors, opacities, ids, starts,
+                 counts, bg):
+        pd = pack_fields(means2d, depths, conics, colors, opacities, ids)
+        raw = rasterize_forward_pallas(pd, starts, counts, bg, width, height,
+                                       ids.shape[0], C + 2)
+        u = unpack_tiles(raw, width, height, C)
+        outs = (u["color"], u["invdepth"], u["depth"],
+                1.0 - jnp.exp(u["log_t"]))
+        return outs, raw
+
+    @jax.custom_vjp
+    def rasterize(means2d, depths, conics, colors, opacities, ids, starts,
+                  counts, bg):
+        return fwd_impl(means2d, depths, conics, colors, opacities, ids,
+                        starts, counts, bg)[0]
+
+    def fwd(means2d, depths, conics, colors, opacities, ids, starts, counts,
+            bg):
+        outs, raw = fwd_impl(means2d, depths, conics, colors, opacities, ids,
+                             starts, counts, bg)
+        aux = raw[:, :, 8:10]   # (num_tiles, 256, 2): log_t, n_contrib
+        res = (means2d, depths, conics, colors, opacities, ids, starts,
+               counts, bg, aux)
+        return outs, res
+
+    def bwd(res, cot):
+        (means2d, depths, conics, colors, opacities, ids, starts, counts,
+         bg, aux) = res
+        d_color, d_invd, d_depth, d_alpha = cot
+
+        g_img = jnp.concatenate([
+            d_color,
+            d_invd[..., None],
+            d_depth[..., None],
+            jnp.zeros((height, width, 8 - C - 2), d_color.dtype),
+        ], axis=-1)                                     # (H, W, 8)
+        g_tiles = _tile_pack(g_img, width, height, 8)   # (T, 256, 8)
+        ga_tiles = _tile_pack(d_alpha[..., None], width, height, 1)
+        aux3 = jnp.concatenate([aux, ga_tiles], axis=-1)  # (T, 256, 3)
+
+        bg_row = jnp.zeros((1, 8), jnp.float32).at[0, :C].set(bg)
+        pd = pack_fields(means2d, depths, conics, colors, opacities, ids)
+        d_pairs = rasterize_backward_pallas(pd, starts, counts, g_tiles,
+                                            aux3, bg_row, width, height)
+
+        P = means2d.shape[0]
+        valid = ids >= 0
+        seg_ids = jnp.where(valid, ids, P)  # dropped bucket
+        d_pairs = d_pairs[:, :ids.shape[0]]  # drop the DMA slack columns
+        contrib = jnp.where(valid[None, :], d_pairs[:14], 0.0)  # (14, NBUF)
+        per_gauss = jax.ops.segment_sum(contrib.T, seg_ids,
+                                        num_segments=P + 1)[:P]  # (P, 14)
+
+        d_means2d = per_gauss[:, 0:2]
+        d_conics = per_gauss[:, 2:5]
+        d_opac = per_gauss[:, 5]
+        d_colors = per_gauss[:, 6:6 + C]
+        d_invd_row = per_gauss[:, 6 + C]
+        d_depth_row = per_gauss[:, 7 + C]
+        finite = jnp.isfinite(depths)
+        safe_depth = jnp.where(finite, depths, 1.0)
+        d_depths = jnp.where(
+            finite,
+            -d_invd_row / (safe_depth * safe_depth) + d_depth_row, 0.0)
+
+        # d_bg = Σ_pixels T_final · d_color (per channel), within-image only
+        grid_x, grid_y = tile_grid(width, height, TILE)
+        t_final = jnp.exp(aux[:, :, 0])                 # (T, 256)
+        g_color_tiles = g_tiles[..., :C]
+        d_bg = jnp.einsum("tp,tpc->c", t_final, g_color_tiles)
+
+        return (d_means2d, d_depths, d_conics, d_colors, d_opac,
+                None, None, None, d_bg)
+
+    rasterize.defvjp(fwd, bwd)
+    return rasterize

@@ -101,22 +101,20 @@ def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
 
     if use_pallas:
         from .ops.binning import bin_gaussians_aligned
-        from .ops.pallas.raster import (pack_pair_data,
-                                        rasterize_forward_pallas,
-                                        unpack_tiles)
+        from .ops.pallas.raster_vjp import make_pallas_rasterizer
         C = proj.colors.shape[-1]
         ba = bin_gaussians_aligned(
             jax.lax.stop_gradient(proj.means2d),
             jax.lax.stop_gradient(proj.depths), proj.radii,
             width, height, config.max_pairs, config.tile)
-        pd = pack_pair_data(proj, ba.ids)
-        raw = rasterize_forward_pallas(pd, ba.tile_starts, ba.tile_counts,
-                                       jnp.asarray(bg_color), width, height,
-                                       config.max_pairs, C + 2)
-        u = unpack_tiles(raw, width, height, C)
+        raster_fn = make_pallas_rasterizer(width, height, C)
+        color, invdepth, depth, alpha = raster_fn(
+            proj.means2d, proj.depths, proj.conics, proj.colors,
+            proj.opacities, ba.ids, ba.tile_starts, ba.tile_counts,
+            jnp.asarray(bg_color))
         from .ops.rasterize_ref import RenderOutputs
-        out = RenderOutputs(color=u["color"], alpha=1.0 - jnp.exp(u["log_t"]),
-                            invdepth=u["invdepth"], depth=u["depth"])
+        out = RenderOutputs(color=color, alpha=alpha, invdepth=invdepth,
+                            depth=depth)
         binning = ba
     else:
         binning = bin_gaussians(

@@ -1,0 +1,135 @@
+"""Golden tests for the Pallas rasterizer (interpret mode on CPU) vs the
+dense oracle — forward values AND gradients (the same contract the reference
+fused-ssim test establishes for its CUDA kernel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from sparse_view_3dgs_pack_tpu import testing
+from sparse_view_3dgs_pack_tpu.ops.binning import bin_gaussians_aligned
+from sparse_view_3dgs_pack_tpu.ops.pallas.raster_vjp import \
+    make_pallas_rasterizer
+from sparse_view_3dgs_pack_tpu.ops.projection import Projected, project_gaussians
+from sparse_view_3dgs_pack_tpu.ops.rasterize_ref import rasterize_dense
+
+W, H = 64, 48
+
+
+def _proj(n=250, seed=0, concentrate=False):
+    cloud = testing.make_gaussian_cloud(seed, n, extent=1.0,
+                                        scale_range=(0.02, 0.1))
+    if concentrate:
+        # pile most gaussians into one small region → one deep tile with
+        # multiple chunks (tests the cross-chunk carries)
+        cloud["xyz"][: n // 2] = (cloud["xyz"][: n // 2] * 0.03)
+    cam = testing.make_orbit_cameras(1, radius=4.0, width=W, height_px=H)[0]
+    p = cam.params()
+    return project_gaussians(
+        means3d=jnp.asarray(cloud["xyz"]),
+        scales=jnp.exp(jnp.asarray(cloud["scales"])),
+        quats=jnp.asarray(cloud["quats"]),
+        opacities=jax.nn.sigmoid(jnp.asarray(cloud["opacity"][:, 0])),
+        viewmat=jnp.asarray(p.viewmat), full_proj=jnp.asarray(p.full_proj),
+        cam_center=jnp.asarray(p.cam_center),
+        tan_fovx=float(p.tan_fovx), tan_fovy=float(p.tan_fovy),
+        width=W, height=H, sh=jnp.asarray(cloud["features"]), sh_degree=0)
+
+
+def _run_pallas(proj, bg, grad=False, max_pairs=1 << 13):
+    ba = bin_gaussians_aligned(proj.means2d, proj.depths, proj.radii, W, H,
+                               max_pairs)
+    fn = make_pallas_rasterizer(W, H, proj.colors.shape[-1])
+    args = (proj.means2d, proj.depths, proj.conics, proj.colors,
+            proj.opacities, ba.ids, ba.tile_starts, ba.tile_counts, bg)
+
+    key = jax.random.PRNGKey(7)
+    gw = [jax.random.normal(k, (H, W, c)) if c > 1 else
+          jax.random.normal(k, (H, W))
+          for k, c in zip(jax.random.split(key, 4), (3, 1, 1, 1))]
+
+    def loss(m2, dep, con, col, op):
+        c, invd, d, a = fn(m2, dep, con, col, op, *args[5:])
+        return (jnp.sum(c * gw[0]) + jnp.sum(invd * gw[1])
+                + jnp.sum(d * gw[2]) + jnp.sum(a * gw[3]))
+
+    with pltpu.force_tpu_interpret_mode():
+        outs = fn(*args)
+        grads = (jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args[:5])
+                 if grad else None)
+    return outs, grads, gw, ba
+
+
+def _oracle(proj, bg, gw=None):
+    ref = rasterize_dense(proj, W, H, bg)
+    if gw is None:
+        return ref, None
+
+    def loss(m2, dep, con, col, op):
+        r = rasterize_dense(Projected(
+            means2d=m2, depths=dep, radii=proj.radii, conics=con,
+            colors=col, opacities=op), W, H, bg)
+        return (jnp.sum(r.color * gw[0]) + jnp.sum(r.invdepth * gw[1])
+                + jnp.sum(r.depth * gw[2]) + jnp.sum(r.alpha * gw[3]))
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        proj.means2d, proj.depths, proj.conics, proj.colors, proj.opacities)
+    return ref, grads
+
+
+def test_pallas_forward_matches_oracle():
+    proj = _proj()
+    bg = jnp.array([0.1, 0.2, 0.3])
+    (color, invd, depth, alpha), _, _, _ = _run_pallas(proj, bg)
+    ref, _ = _oracle(proj, bg)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(invd), np.asarray(ref.invdepth),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha),
+                               atol=2e-6)
+
+
+def test_pallas_gradients_match_oracle():
+    proj = _proj(n=150, seed=1)
+    bg = jnp.array([0.05, 0.1, 0.15])
+    _, grads, gw, _ = _run_pallas(proj, bg, grad=True)
+    _, ref_grads = _oracle(proj, bg, gw)
+    names = ("means2d", "depths", "conics", "colors", "opacities")
+    for g, rg, name in zip(grads, ref_grads, names):
+        ga, rga = np.asarray(g), np.asarray(rg)
+        # ignore culled gaussians (oracle masks them identically, but inf
+        # depths produce no grads on either side)
+        mask = np.asarray(proj.radii) > 0
+        ga = ga[mask]
+        rga = rga[mask]
+        scale = max(np.abs(rga).max(), 1e-3)
+        np.testing.assert_allclose(ga, rga, atol=3e-5 * scale, rtol=2e-3,
+                                   err_msg=name)
+        assert np.abs(ga).max() > 0, f"zero grads for {name}"
+
+
+def test_pallas_multichunk_carries():
+    proj = _proj(n=600, seed=2, concentrate=True)
+    bg = jnp.zeros(3)
+    ba = bin_gaussians_aligned(proj.means2d, proj.depths, proj.radii, W, H,
+                               1 << 14)
+    assert int(ba.tile_counts.max()) > 256, "scene must exceed one chunk"
+    (color, invd, depth, alpha), grads, gw, _ = _run_pallas(
+        proj, bg, grad=True, max_pairs=1 << 14)
+    ref, ref_grads = _oracle(proj, bg, gw)
+    # cross-chunk carries change f32 summation order → slightly looser tols
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                               atol=2e-4)
+    for g, rg, name in zip(grads, ref_grads,
+                           ("means2d", "depths", "conics", "colors",
+                            "opacities")):
+        mask = np.asarray(proj.radii) > 0
+        ga, rga = np.asarray(g)[mask], np.asarray(rg)[mask]
+        scale = max(np.abs(rga).max(), 1e-3)
+        np.testing.assert_allclose(ga, rga, atol=2e-4 * scale, rtol=2e-2,
+                                   err_msg=name)
