@@ -23,8 +23,11 @@ def _proj(n=250, seed=0, concentrate=False):
                                         scale_range=(0.02, 0.1))
     if concentrate:
         # pile most gaussians into one small region → one deep tile with
-        # multiple chunks (tests the cross-chunk carries)
+        # multiple chunks (tests the cross-chunk carries). Low opacities keep
+        # T above the 1e-4 early-stop so the comparison is free of the
+        # (order-sensitive) cutoff boundary.
         cloud["xyz"][: n // 2] = (cloud["xyz"][: n // 2] * 0.03)
+        cloud["opacity"][:] = -4.5
     cam = testing.make_orbit_cameras(1, radius=4.0, width=W, height_px=H)[0]
     p = cam.params()
     return project_gaussians(
@@ -122,14 +125,13 @@ def test_pallas_multichunk_carries():
     (color, invd, depth, alpha), grads, gw, _ = _run_pallas(
         proj, bg, grad=True, max_pairs=1 << 14)
     ref, ref_grads = _oracle(proj, bg, gw)
-    # cross-chunk carries change f32 summation order → slightly looser tols
     np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
-                               atol=2e-4)
+                               atol=2e-5)
     for g, rg, name in zip(grads, ref_grads,
                            ("means2d", "depths", "conics", "colors",
                             "opacities")):
         mask = np.asarray(proj.radii) > 0
         ga, rga = np.asarray(g)[mask], np.asarray(rg)[mask]
         scale = max(np.abs(rga).max(), 1e-3)
-        np.testing.assert_allclose(ga, rga, atol=2e-4 * scale, rtol=2e-2,
+        np.testing.assert_allclose(ga, rga, atol=1e-4 * scale, rtol=5e-3,
                                    err_msg=name)
