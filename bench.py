@@ -37,15 +37,16 @@ def bench_render(width=1920, height=1080, n=200_000, frames=20):
     import jax.numpy as jnp
 
     from sparse_view_3dgs_pack_tpu.data.cameras import CameraParams
+    from sparse_view_3dgs_pack_tpu.ops.binning import bin_gaussians_aligned
+    from sparse_view_3dgs_pack_tpu.ops.pallas.raster_vjp import \
+        make_pallas_rasterizer
     from sparse_view_3dgs_pack_tpu.ops.projection import project_gaussians
-    from sparse_view_3dgs_pack_tpu.ops.rasterize_tiles import (RasterConfig,
-                                                               rasterize)
     from sparse_view_3dgs_pack_tpu.testing import make_orbit_cameras
 
     cloud = build_scene(n)
     cams = make_orbit_cameras(frames, radius=6.0, width=width,
                               height_px=height)
-    cfg = RasterConfig(max_pairs=1 << 21, max_per_tile=1024, tile_batch=256)
+    max_pairs = 1 << 21
 
     params = {
         "xyz": jnp.asarray(cloud["xyz"]),
@@ -55,13 +56,21 @@ def bench_render(width=1920, height=1080, n=200_000, frames=20):
         "sh": jnp.asarray(cloud["features"]),
     }
 
+    raster_fn = make_pallas_rasterizer(width, height, 3)
+
     def render_frame(p, viewmat, full_proj, cam_center, tanx, tany):
         proj = project_gaussians(
             means3d=p["xyz"], scales=p["scales"], quats=p["quats"],
             opacities=p["opac"], viewmat=viewmat, full_proj=full_proj,
             cam_center=cam_center, tan_fovx=tanx, tan_fovy=tany,
             width=width, height=height, sh=p["sh"], sh_degree=0)
-        return rasterize(proj, width, height, jnp.zeros(3), cfg).color
+        ba = bin_gaussians_aligned(proj.means2d, proj.depths, proj.radii,
+                                   width, height, max_pairs)
+        color, _, _, _ = raster_fn(proj.means2d, proj.depths, proj.conics,
+                                   proj.colors, proj.opacities, ba.ids,
+                                   ba.tile_starts, ba.tile_counts,
+                                   jnp.zeros(3))
+        return color
 
     jfn = jax.jit(render_frame)
     camps = [c.params() for c in cams]
@@ -105,10 +114,12 @@ def bench_train(width=800, height=800, n=100_000, iters=30):
         c.alpha_mask = np.ones((height, width), np.float32)
     bank = CameraBank.from_cameras(cams)
 
+    import jax as _jax
     cfg = StepConfig(
         width=width, height=height, sh_degree=3,
         raster=RasterConfig(max_pairs=1 << 21, max_per_tile=1024,
                             tile_batch=128),
+        use_pallas=_jax.default_backend() not in ("cpu",),
         dwt_enable=True, patch_dwt_enable=True, patch_size=128)
 
     adam = init_adam(state.params)

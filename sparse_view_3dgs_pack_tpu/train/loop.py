@@ -87,9 +87,13 @@ class Trainer:
             max_pairs=getattr(self.pipe, "max_pairs", 0),
             max_per_tile=getattr(self.pipe, "max_per_tile", 0),
             tile_batch=getattr(self.pipe, "tile_batch", 64))
+        use_pallas = getattr(self.pipe, "use_pallas", None)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
         self._cfg = StepConfig(
             width=self.width, height=self.height, channels=self.channels,
             sh_degree=self.dataset_args.sh_degree, raster=self._raster_cfg,
+            use_pallas=use_pallas,
             lambda_dssim=o.lambda_dssim,
             antialiasing=getattr(self.pipe, "antialiasing", False),
             train_test_exp=getattr(self.dataset_args, "train_test_exp", False),

@@ -101,6 +101,7 @@ class StepConfig(NamedTuple):
     antialiasing: bool = False
     train_test_exp: bool = False
     sparse_adam: bool = False
+    use_pallas: bool = False   # Pallas fwd+bwd kernels (TPU hot path)
     # LGDWT: global DWT subband loss
     dwt_enable: bool = False
     dwt_weights: tuple = (1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0)  # LL1..HH2
@@ -164,7 +165,7 @@ def train_step(state: GaussianState, adam: AdamState,
             sh_degree_active=cfg.sh_degree, config=cfg.raster,
             antialiasing=cfg.antialiasing,
             use_trained_exp=cfg.train_test_exp,
-            viewspace_offset=offset)
+            viewspace_offset=offset, use_pallas=cfg.use_pallas)
         image = res.render * alpha_mask
 
         ll1 = l1_loss(image, gt)
