@@ -99,7 +99,11 @@ def read_cameras_binary(path) -> dict[int, Camera]:
     return cams
 
 
-def read_images_binary(path) -> dict[int, Image]:
+def read_images_binary(path, want_points2d: bool = False) -> dict[int, Image]:
+    if not want_points2d:
+        from . import native
+        if native.AVAILABLE:
+            return native.read_images_binary_fast(path)
     images = {}
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
@@ -127,6 +131,9 @@ def read_images_binary(path) -> dict[int, Image]:
 
 def read_points3D_binary(path):
     """→ (xyz (N,3) f64, rgb (N,3) u8, errors (N,1) f64), reference signature."""
+    from . import native
+    if native.AVAILABLE:
+        return native.read_points3d_binary_fast(path)
     xyzs, rgbs, errs = [], [], []
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")

@@ -34,6 +34,12 @@ def read_ply(path: str) -> dict[str, np.ndarray]:
     List properties and non-vertex elements are not supported (none appear in
     3DGS point clouds / checkpoints).
     """
+    from . import native
+    if native.AVAILABLE:
+        try:
+            return native.read_ply_fast(path)
+        except Exception:
+            pass  # ascii / unusual dtypes → python path
     with open(path, "rb") as f:
         magic = f.readline().strip()
         if magic != b"ply":
