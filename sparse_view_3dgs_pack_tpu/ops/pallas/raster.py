@@ -180,12 +180,9 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload,
     t_final = jnp.exp(log_t)                            # (256, 1)
     bg = bg_ref[0:1, :]                                 # (1, 8); zeros past C
     color = accum + t_final * bg                        # (256, 8)
-    # pack outputs (8 rows kept: payload(≤8 incl invd/depth); rows 6,7 of
-    # payload are invd/depth when C=3... we emit [accum+bg (8)] then log_t
-    # and n_contrib in dedicated rows of a second write
-    out_ref[0, :, 0:8] = color
-    out_ref[0, :, 8:9] = log_t
-    out_ref[0, :, 9:10] = n_contrib
+    # single full-block write: [blend(8), log_t, n_contrib, zeros(6)]
+    out_ref[0] = jnp.concatenate(
+        [color, log_t, n_contrib, jnp.zeros((PIX, 6), jnp.float32)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "max_pairs",

@@ -247,22 +247,46 @@ class Trainer:
 def simple_train(scene, opt, pipe, dataset_args, method="lgdwt",
                  testing_iterations=(), saving_iterations=(),
                  checkpoint_iterations=(), quiet=False,
-                 progress: Optional[Callable] = None):
+                 progress: Optional[Callable] = None,
+                 start_checkpoint: Optional[str] = None,
+                 tb: bool = True):
+    from .logging import TrainReporter
+
     trainer = Trainer(scene, opt, pipe, dataset_args, method, quiet=quiet)
+    if start_checkpoint:
+        trainer.restore_checkpoint(start_checkpoint)
+        print(f"Resumed from {start_checkpoint} "
+              f"(iteration {trainer.iteration})")
+    reporter = TrainReporter(scene.model_path, enabled=tb)
     t0 = time.time()
+    last = t0
     for it in range(trainer.iteration + 1, opt.iterations + 1):
         metrics = trainer.step()
         if progress and it % 10 == 0:
             progress(it, metrics)
+        if it % 10 == 0:
+            now = time.time()
+            reporter.scalars(it, metrics)
+            reporter.iter_time(it, (now - last) / 10)
+            last = now
         if it in testing_iterations:
             stats = trainer.evaluate(scene.getTestCameras() or
                                      scene.getTrainCameras()[:4])
             print(f"\n[ITER {it}] Evaluating: PSNR {stats.get('psnr', 0):.2f}")
+            if reporter.writer is not None:
+                reporter.writer.add_scalar("test/psnr",
+                                           stats.get("psnr", 0.0), it)
+                reporter.histogram(it, "scene/opacity_histogram",
+                                   np.asarray(gm.get_opacity(trainer.state)))
+                reporter.writer.add_scalar("scene/total_points",
+                                           int(trainer.state.n_alive), it)
         if it in saving_iterations:
             print(f"\n[ITER {it}] Saving Gaussians")
             trainer.save_scene(it)
         if it in checkpoint_iterations:
+            print(f"\n[ITER {it}] Saving Checkpoint")
             trainer.save_checkpoint(
                 os.path.join(scene.model_path, f"chkpnt{it}.npz"))
+    reporter.close()
     elapsed = time.time() - t0
     return trainer, elapsed

@@ -60,7 +60,8 @@ def train_method(method: str, dataset, opt, pipe, args) -> None:
         saving_iterations=set(args.save_iterations),
         checkpoint_iterations=set(args.checkpoint_iterations or []),
         quiet=args.quiet,
-        progress=_progress_printer(opt.iterations))
+        progress=_progress_printer(opt.iterations),
+        start_checkpoint=getattr(args, "start_checkpoint", None))
 
     stats = trainer.evaluate(scene.getTestCameras() or
                              scene.getTrainCameras()[:8])
