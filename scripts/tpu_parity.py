@@ -32,19 +32,26 @@ jax.block_until_ready(ba.ids); log("binned; counts:", np.asarray(ba.tile_counts)
 pd = pr.pack_pair_data(proj, ba.ids)
 jax.block_until_ready(pd); log("packed")
 bg = jnp.array([0.1,0.2,0.3])
-out = pr.rasterize_forward_pallas(pd, ba.tile_starts, ba.tile_counts, bg, W, H, MP, 5)
-jax.block_until_ready(out); log("kernel done")
-imgs = pr.unpack_tiles(out, W, H, 3)
 ref = rasterize_binned(proj, b, W, H, bg, RasterConfig(max_pairs=MP, max_per_tile=256, tile_batch=4))
 jax.block_until_ready(ref.color); log("xla tiled done")
-d = np.abs(np.asarray(imgs["color"]) - np.asarray(ref.color)).max(-1)
-log("maxdiff %.4g frac>1e-3 %.5f" % (d.max(), (d>1e-3).mean()))
-if d.max() > 1e-3:
-    gx = (W+15)//16
-    bad = sorted({(y//16)*gx + x//16 for y,x in zip(*np.where(d>1e-3))})
-    log("bad tiles:", bad)
-    cts = np.asarray(ba.tile_counts); log("counts of bad:", [int(cts[t]) for t in bad])
-    # dump one tile's kernel color vs ref for pixel 0
-    t = bad[0]
-    log("tile", t, "kernel px0:", np.asarray(out[t,0,:11]))
-EOF_MARK = None
+
+for label, kwargs in [("early-exit ON", dict(early_exit=True)),
+                      ("early-exit OFF", dict(early_exit=False))]:
+    out = pr.rasterize_forward_pallas(pd, ba.tile_starts, ba.tile_counts, bg, W, H, MP, 5, **kwargs)
+    jax.block_until_ready(out); log("kernel done:", label)
+    imgs = pr.unpack_tiles(out, W, H, 3)
+    d = np.abs(np.asarray(imgs["color"]) - np.asarray(ref.color)).max(-1)
+    log(label, "maxdiff %.4g frac>1e-3 %.5f" % (d.max(), (d>1e-3).mean()))
+    if d.max() > 1e-3:
+        gx = (W+15)//16
+        bad = sorted({(y//16)*gx + x//16 for y,x in zip(*np.where(d>1e-3))})
+        cts = np.asarray(ba.tile_counts)
+        log("  bad tiles:", bad, "counts:", [int(cts[t]) for t in bad])
+        t = bad[0]
+        log("  tile", t, "kernel row0:", np.asarray(out[t,0,:11]).round(4).tolist())
+
+# run kernel twice, check determinism across invocations
+o1 = pr.rasterize_forward_pallas(pd, ba.tile_starts, ba.tile_counts, bg, W, H, MP, 5)
+o2 = pr.rasterize_forward_pallas(pd, ba.tile_starts, ba.tile_counts, bg, W, H, MP, 5)
+log("repeat determinism maxdiff:", float(jnp.abs(o1-o2).max()))
+

@@ -78,7 +78,7 @@ def pack_fields(means2d, depths, conics, colors, opacities,
         [data, jnp.zeros((DROWS, CHUNK), data.dtype)], axis=1)
 
 
-def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload,
+def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
                 # scalar prefetch
                 starts_ref, counts_ref,
                 # inputs
@@ -162,7 +162,9 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload,
 
     def cond(state):
         k, log_t, _, _ = state
-        return (k < n_chunks) & (jnp.max(log_t) >= LOG_T_EPS)
+        if early_exit:
+            return (k < n_chunks) & (jnp.max(log_t) >= LOG_T_EPS)
+        return k < n_chunks
 
     init = (jnp.asarray(0, jnp.int32),
             jnp.zeros((PIX, 1), jnp.float32),
@@ -186,11 +188,13 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "max_pairs",
-                                             "n_payload", "max_chunks"))
+                                             "n_payload", "max_chunks",
+                                             "early_exit"))
 def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
                              background, width: int, height: int,
                              max_pairs: int, n_payload: int,
-                             max_chunks: int = 4096):
+                             max_chunks: int = 4096,
+                             early_exit: bool = True):
     """pair_data: (16, max_pairs); returns (num_tiles, 256, 16) with
     columns [blend(8) incl bg-composited colors, log_t, n_contrib, 0...]."""
     grid_x, grid_y = tile_grid(width, height, TILE)
@@ -200,7 +204,7 @@ def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
     bg = bg.at[0, :background.shape[0]].set(background)
 
     kernel = functools.partial(_fwd_kernel, num_tiles, grid_x, max_chunks,
-                               n_payload)
+                               n_payload, early_exit)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
