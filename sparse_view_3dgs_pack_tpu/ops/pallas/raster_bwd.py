@@ -170,20 +170,27 @@ def _bwd_kernel(grid_x, max_chunks,
         d_opacity = jnp.sum(d_op, axis=0, keepdims=True)  # (1, CHUNK)
         d_payload = jax.lax.dot_general(g, w, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-        gbuf[0:1, :] = d_mx
-        gbuf[1:2, :] = d_my
-        gbuf[2:3, :] = d_a
-        gbuf[3:4, :] = d_b
-        gbuf[4:5, :] = d_c
-        gbuf[5:6, :] = d_opacity
-        gbuf[6:14, :] = d_payload                         # (8, CHUNK)
-        gbuf[14:16, :] = jnp.zeros((2, CHUNK), jnp.float32)
 
-        off = pl.multiple_of(start + k * CHUNK, 128)
-        out_cp = pltpu.make_async_copy(
-            gbuf, grads_hbm.at[:, pl.ds(off, CHUNK)], osem)
-        out_cp.start()
-        out_cp.wait()
+        def out_dma(s, chunk_idx):
+            o = pl.multiple_of(start + chunk_idx * CHUNK, 128)
+            return pltpu.make_async_copy(
+                gbuf.at[s], grads_hbm.at[:, pl.ds(o, CHUNK)], osem.at[s])
+
+        # double-buffered write-out: drain the copy issued 2 chunks ago
+        # (chunk k+2, same slot) before overwriting the buffer
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, k + 2).wait()
+
+        gbuf[slot, 0:1, :] = d_mx
+        gbuf[slot, 1:2, :] = d_my
+        gbuf[slot, 2:3, :] = d_a
+        gbuf[slot, 3:4, :] = d_b
+        gbuf[slot, 4:5, :] = d_c
+        gbuf[slot, 5:6, :] = d_opacity
+        gbuf[slot, 6:14, :] = d_payload                   # (8, CHUNK)
+        gbuf[slot, 14:16, :] = jnp.zeros((2, CHUNK), jnp.float32)
+        out_dma(slot, k).start()
 
         new_c_log = c_log + jnp.sum(jnp.where(contrib, log1m, 0.0), axis=1,
                                     keepdims=True)
@@ -199,9 +206,18 @@ def _bwd_kernel(grid_x, max_chunks,
             jnp.zeros((PIX, 1), jnp.float32))
     i, _, _ = jax.lax.while_loop(cond, body, init)
 
-    @pl.when(i < n_chunks)
-    def _():
-        dma_in(i % 2, first - i).wait()
+    # drain outstanding OUTPUT copies (last up-to-2 chunks processed)
+    def drain_out(j):
+        @pl.when(i >= j)
+        def _():
+            chunk_idx = first - (i - j)
+            o = pl.multiple_of(start + chunk_idx * CHUNK, 128)
+            pltpu.make_async_copy(gbuf.at[(i - j) % 2],
+                                  grads_hbm.at[:, pl.ds(o, CHUNK)],
+                                  osem.at[(i - j) % 2]).wait()
+
+    drain_out(1)
+    drain_out(2)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "max_chunks"))
@@ -233,9 +249,9 @@ def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, DROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((GROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, GROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
