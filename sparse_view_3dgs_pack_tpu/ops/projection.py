@@ -32,15 +32,35 @@ class Projected(NamedTuple):
 
 
 def compute_cov3d(scales, quats, scale_modifier=1.0):
-    """Σ = (R S)(R S)ᵀ packed as (P, 6) upper-triangular [xx,xy,xz,yy,yz,zz]."""
-    L = build_scaling_rotation(scale_modifier * scales, quats)
-    cov = jnp.einsum("...ij,...kj->...ik", L, L)
-    return jnp.stack([cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
-                      cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]], -1)
+    """Σ = (R S)(R S)ᵀ packed as (P, 6) upper-triangular [xx,xy,xz,yy,yz,zz].
+
+    Flat (P,)-vector arithmetic (no per-point 3×3 matmuls): Σ_ik =
+    Σ_j R_ij R_kj s_j²."""
+    q = quats / jnp.maximum(
+        jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+    s2 = (scale_modifier * scales) ** 2  # (P, 3)
+
+    def sig(i, k):
+        return (R[i][0] * R[k][0] * s2[..., 0]
+                + R[i][1] * R[k][1] * s2[..., 1]
+                + R[i][2] * R[k][2] * s2[..., 2])
+
+    return jnp.stack([sig(0, 0), sig(0, 1), sig(0, 2),
+                      sig(1, 1), sig(1, 2), sig(2, 2)], -1)
 
 
 def _cov2d(p_view, cov3d, viewmat, focal_x, focal_y, tan_fovx, tan_fovy):
-    """EWA projection of 3D covariance to screen space. p_view: (P,3)."""
+    """EWA projection of 3D covariance to screen space. p_view: (P,3).
+
+    Written as flat (P,)-vector arithmetic rather than batched (P,2,3)
+    einsums — tiny per-point matmuls lower poorly on TPU, and this form is a
+    handful of fused VPU ops."""
     tz = p_view[:, 2]
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
@@ -48,24 +68,27 @@ def _cov2d(p_view, cov3d, viewmat, focal_x, focal_y, tan_fovx, tan_fovy):
     ty = jnp.clip(p_view[:, 1] / tz, -limy, limy) * tz
 
     inv_z = 1.0 / tz
-    inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    # J: (P, 2, 3) — only the two projective rows matter
-    J = jnp.stack([
-        jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], -1),
-        jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], -1),
-    ], -2)
-    W = viewmat[:3, :3]  # world→cam rotation
-    JW = jnp.einsum("pij,jk->pik", J, W)  # (P, 2, 3)
+    # J rows: jx = [fx/z, 0, -fx·tx/z²], jy = [0, fy/z, -fy·ty/z²]
+    jx0 = focal_x * inv_z
+    jx2 = -focal_x * tx * inv_z * inv_z
+    jy1 = focal_y * inv_z
+    jy2 = -focal_y * ty * inv_z * inv_z
 
-    c = cov3d
-    V = jnp.stack([
-        jnp.stack([c[:, 0], c[:, 1], c[:, 2]], -1),
-        jnp.stack([c[:, 1], c[:, 3], c[:, 4]], -1),
-        jnp.stack([c[:, 2], c[:, 4], c[:, 5]], -1),
-    ], -2)  # (P, 3, 3)
-    cov2d = jnp.einsum("pij,pjk,plk->pil", JW, V, JW)  # (P, 2, 2)
-    return cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
+    W = viewmat[:3, :3]  # world→cam rotation (static per call)
+    # rows of T = J @ W, as (P,) components
+    t0 = [jx0 * W[0, k] + jx2 * W[2, k] for k in range(3)]
+    t1 = [jy1 * W[1, k] + jy2 * W[2, k] for k in range(3)]
+
+    c00, c01, c02 = cov3d[:, 0], cov3d[:, 1], cov3d[:, 2]
+    c11, c12, c22 = cov3d[:, 3], cov3d[:, 4], cov3d[:, 5]
+
+    def sigma_dot(a, b):
+        """aᵀ Σ b with packed symmetric Σ."""
+        return (a[0] * (c00 * b[0] + c01 * b[1] + c02 * b[2])
+                + a[1] * (c01 * b[0] + c11 * b[1] + c12 * b[2])
+                + a[2] * (c02 * b[0] + c12 * b[1] + c22 * b[2]))
+
+    return sigma_dot(t0, t0), sigma_dot(t0, t1), sigma_dot(t1, t1)
 
 
 def ndc2pix(v, size):
