@@ -62,6 +62,7 @@ class DNGConfig(NamedTuple):
     patch_range: tuple = (5, 17)
     use_smooth: bool = False
     use_soft: bool = False
+    use_mask: bool = False   # DTU: mask photometric loss (train_dtu.py:84-105)
 
 
 def _neural_outputs(neural_params, state, cam_center, cfg: DNGConfig):
@@ -162,11 +163,17 @@ def dng_step(state, neural_params, adam, neural_adam, bank: CameraBank,
             neural_params, g_soft_n, neural_adam, neural_lrs)
 
     # ---- pass 3: photometric + regularisers
+    alpha_mask = bank.alpha_mask[cam_idx]
+
     def photo_loss(params, neural_p, offset):
         res = render_with(params, neural_p, offset=offset)
         image = res.render
-        ll1 = l1_loss(image, gt)
-        loss = ll1 + cfg.lambda_dssim * (1.0 - ssim(image, gt))
+        gt_eff = gt
+        if cfg.use_mask:
+            image = image * alpha_mask
+            gt_eff = gt * alpha_mask
+        ll1 = l1_loss(image, gt_eff)
+        loss = ll1 + cfg.lambda_dssim * (1.0 - ssim(image, gt_eff))
 
         scaling = jnp.exp(params["scaling"])
         smax = jnp.max(scaling, axis=-1)
@@ -221,7 +228,10 @@ def neural_lr_tree(params, grid_lr: float, net_lr: float):
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
-def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0):
+def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
+                     dataset_type: str = "llff"):
+    """dataset_type: 'llff' (default) | 'dtu' (black bg + masked loss,
+    reference `train_dtu.py`) | 'blender' (white bg, `train_blender.py`)."""
     scene = Scene(dataset, sh_degree=dataset.sh_degree)
     cams = scene.getTrainCameras()
     W, H = cams[0].width, cams[0].height
@@ -248,8 +258,8 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0):
                                 getattr(opt, "neural_grid", 5e-3),
                                 getattr(opt, "neural_net", 5e-4))
 
-    bg = jnp.asarray([1, 1, 1] if dataset.white_background else [0, 0, 0],
-                     jnp.float32)
+    white = dataset.white_background or dataset_type == "blender"
+    bg = jnp.asarray([1, 1, 1] if white else [0, 0, 0], jnp.float32)
     raster_cfg = default_raster_config(state.capacity, W, H)
     spiral_cams = generate_spiral_path(cams, n_frames=120)
 
@@ -272,7 +282,7 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0):
             raster=raster_cfg, lambda_dssim=opt.lambda_dssim,
             error_tolerance=opt.error_tolerance,
             shape_pena=opt.shape_pena, scale_pena=opt.scale_pena,
-            opa_pena=opt.opa_pena,
+            opa_pena=opt.opa_pena, use_mask=(dataset_type == "dtu"),
             use_smooth=(it > 3000), use_soft=(it > opt.soft_depth_start))
 
         lrs = {k: jnp.asarray(f(it), jnp.float32)

@@ -45,7 +45,10 @@ def train_method(method: str, dataset, opt, pipe, args) -> None:
         return train_fsgs(dataset, opt, pipe, args)
     elif method == "dngaussian":
         from .dng_loop import train_dngaussian
-        return train_dngaussian(dataset, opt, pipe, args)
+        return train_dngaussian(
+            dataset, opt, pipe, args,
+            near_range=getattr(args, "near_range", 0.0),
+            dataset_type=getattr(args, "dataset_type", "llff"))
     else:
         raise ValueError(method)
 
