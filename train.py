@@ -40,6 +40,13 @@ def main(argv=None):
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--disable_viewer", action="store_true", default=False)
+    parser.add_argument("--dataset_type", type=str, default="llff",
+                        choices=["llff", "dtu", "blender"],
+                        help="DNGaussian trainer variant")
+    parser.add_argument("--near_range", type=float, default=0.0,
+                        help="DNGaussian spiral near-range pruning distance")
+    parser.add_argument("--depth_estimator", type=str, default="auto",
+                        choices=["auto", "precomputed", "midas", "none"])
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
