@@ -82,7 +82,7 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
                 # scalar prefetch
                 starts_ref, counts_ref,
                 # inputs
-                pairs_hbm, bg_ref,
+                pairs_hbm, bg_ref, pix_ref,
                 # outputs
                 out_ref,
                 # scratch
@@ -92,11 +92,12 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
     count = counts_ref[t]
     n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, max_chunks)
 
-    tx = (t % grid_x) * TILE
-    ty = (t // grid_x) * TILE
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px = (tx + pidx % TILE).astype(jnp.float32)        # (256, 1)
-    py = (ty + pidx // TILE).astype(jnp.float32)
+    # tile-local pixel coordinates come in as a precomputed constant (host
+    # iota+mod on (256,1) sublane vectors has shown Mosaic lowering issues)
+    tx = ((t % grid_x) * TILE).astype(jnp.float32)
+    ty = ((t // grid_x) * TILE).astype(jnp.float32)
+    px = pix_ref[:, 0:1] + tx                          # (256, 1)
+    py = pix_ref[:, 1:2] + ty
 
     def dma(slot, k):
         # tile ranges are 128-aligned by bin_gaussians_aligned; tell Mosaic
@@ -211,6 +212,7 @@ def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # pairs stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bg
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tile-local pixel xy
         ],
         out_specs=pl.BlockSpec((1, PIX, 16), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -225,8 +227,15 @@ def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
         out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 16), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(tile_starts, tile_counts, pair_data, bg)
+    )(tile_starts, tile_counts, pair_data, bg, tile_pixel_coords())
     return out
+
+
+def tile_pixel_coords() -> jnp.ndarray:
+    """(256, 2) tile-local pixel (x, y) at integer centers, row-major."""
+    p = jnp.arange(PIX, dtype=jnp.int32)
+    return jnp.stack([(p % TILE).astype(jnp.float32),
+                      (p // TILE).astype(jnp.float32)], axis=1)
 
 
 def unpack_tiles(out, width: int, height: int, channels: int):

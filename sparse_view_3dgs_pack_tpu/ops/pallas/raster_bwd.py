@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..binning import Binning, tile_grid
 from .raster import (ALPHA_EPS, ALPHA_MAX, CHUNK, DROWS, LOG_T_EPS, PIX,
                      TILE, pack_pair_data, rasterize_forward_pallas,
-                     unpack_tiles)
+                     tile_pixel_coords, unpack_tiles)
 
 GROWS = 16  # grad rows: mx,my,a,b,c,op,payload(8),pad,pad
 
@@ -43,7 +43,7 @@ def _bwd_kernel(grid_x, max_chunks,
                 # scalar prefetch
                 starts_ref, counts_ref,
                 # inputs
-                pairs_hbm, g_ref, aux_ref, gbg_ref,
+                pairs_hbm, g_ref, aux_ref, gbg_ref, pix_ref,
                 # outputs
                 grads_hbm,
                 # scratch
@@ -53,16 +53,13 @@ def _bwd_kernel(grid_x, max_chunks,
     count = counts_ref[t]
     n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, max_chunks)
 
-    tx = (t % grid_x) * TILE
-    ty = (t // grid_x) * TILE
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    # tile-LOCAL pixel coordinates: keeps the moment expansion
-    # Σq·dx² = R0 − 2m·R3 + m²·R5 well conditioned (global coords lose ~3
-    # digits to cancellation at 1080p)
-    px = (pidx % TILE).astype(jnp.float32)
-    py = (pidx // TILE).astype(jnp.float32)
-    txf = jnp.float32(1.0) * tx
-    tyf = jnp.float32(1.0) * ty
+    # tile-LOCAL pixel coordinates (precomputed input): keeps the moment
+    # expansion Σq·dx² = R0 − 2m·R3 + m²·R5 well conditioned (global coords
+    # lose ~3 digits to cancellation at 1080p)
+    px = pix_ref[:, 0:1]                               # (256, 1)
+    py = pix_ref[:, 1:2]
+    txf = ((t % grid_x) * TILE).astype(jnp.float32)
+    tyf = ((t // grid_x) * TILE).astype(jnp.float32)
 
     g = g_ref[0]                      # (256, 8) payload cotangent
     log_tf = aux_ref[0, :, 0:1]       # (256, 1)
@@ -245,6 +242,7 @@ def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
             pl.BlockSpec((1, PIX, 3), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),              # aux
             pl.BlockSpec(memory_space=pltpu.VMEM),              # bg row
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # pixel xy
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
@@ -261,5 +259,6 @@ def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(tile_starts, tile_counts, pair_data, g_payload, aux, g_bg_rows)
+    )(tile_starts, tile_counts, pair_data, g_payload, aux, g_bg_rows,
+      tile_pixel_coords())
     return out
