@@ -146,7 +146,8 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
         log1m = jnp.log1p(-alpha)
         s_incl = log_t + jax.lax.dot_general(
             log1m, triu_ones, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (256, CHUNK)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # (256, CHUNK)
         contribute = s_incl >= LOG_T_EPS                # monotone ⇒ no cummax
         s_excl = s_incl - log1m
         w = jnp.where(contribute, alpha * jnp.exp(s_excl), 0.0)
@@ -154,7 +155,8 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
         payload = d[6:14, :]                            # (8, CHUNK)
         accum = accum + jax.lax.dot_general(
             w, payload, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (256, 8)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # (256, 8)
         n_contrib = n_contrib + jnp.sum(
             contribute.astype(jnp.float32), axis=1, keepdims=True)
         log_t = log_t + jnp.sum(jnp.where(contribute, log1m, 0.0),

@@ -69,7 +69,8 @@ def _bwd_kernel(grid_x, max_chunks,
     gb = gbg_ref[0:1, :]              # (1, 8) g·bg already contracted? no:
     gbg = jax.lax.dot_general(g, gbg_ref[:, :],
                               (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (256,1)
+                              preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (256,1)
     B = t_final * (gbg - g_alpha)     # (256, 1)
 
     # pixel monomials for the gradient reductions: [x², y², xy, x, y, 1]
@@ -129,16 +130,19 @@ def _bwd_kernel(grid_x, max_chunks,
         # reverse cumsums along lanes via MXU
         r_incl = jax.lax.dot_general(log1m, tril_incl,
                                      (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         T = jnp.exp(log_tf - r_incl - c_log)            # (256, CHUNK)
         w = alpha * T
 
         gc = jax.lax.dot_general(g, payload, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         wgc = w * gc                                     # (256, CHUNK)
         suffix = jax.lax.dot_general(wgc, tril_excl,
                                      (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) \
+                                     preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) \
             + s_carry
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         dalpha = jnp.where(contrib, T * gc - (suffix + B) / one_m, 0.0)
@@ -150,7 +154,8 @@ def _bwd_kernel(grid_x, max_chunks,
 
         # per-pair reductions over pixels (MXU): R = Fᵀ q → (6, CHUNK)
         R = jax.lax.dot_general(Fpix, q, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         R0, R1, R2 = R[0:1, :], R[1:2, :], R[2:3, :]    # (1, CHUNK)
         R3, R4, R5 = R[3:4, :], R[4:5, :], R[5:6, :]
         s_qdx = R3 - mx * R5
@@ -166,7 +171,8 @@ def _bwd_kernel(grid_x, max_chunks,
         d_c = -0.5 * s_qdy2
         d_opacity = jnp.sum(d_op, axis=0, keepdims=True)  # (1, CHUNK)
         d_payload = jax.lax.dot_general(g, w, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
         def out_dma(s, chunk_idx):
             o = pl.multiple_of(start + chunk_idx * CHUNK, 128)
