@@ -85,7 +85,7 @@ def bin_gaussians(means2d, depths, radii, width: int, height: int,
                                    "align"))
 def bin_gaussians_aligned(means2d, depths, radii, width: int, height: int,
                           max_pairs: int, tile: int = TILE,
-                          align: int = 128) -> Binning:
+                          align: int = 256) -> Binning:
     """Binning with every tile's range start aligned to `align` pairs.
 
     Each tile's pair count is padded up to a multiple of `align` with
@@ -93,6 +93,11 @@ def bin_gaussians_aligned(means2d, depths, radii, width: int, height: int,
     `align`-multiples — the Pallas kernel can then DMA contiguous aligned
     slices. Output capacity is max_pairs + align·num_tiles. `tile_counts`
     are the PADDED counts; sentinels are inert in blending.
+
+    `align` must be ≥ the kernel CHUNK so the backward kernel's full-chunk
+    gradient write-outs stay inside the owning tile's slot range (a 128
+    alignment under a 256 chunk lets tile t's last write clobber tile t+1's
+    first 128 pair gradients).
     """
     grid_x, grid_y = tile_grid(width, height, tile)
     num_tiles = grid_x * grid_y

@@ -79,6 +79,7 @@ def pack_fields(means2d, depths, conics, colors, opacities,
 
 
 def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
+                mm_precision,
                 # scalar prefetch
                 starts_ref, counts_ref,
                 # inputs
@@ -147,7 +148,7 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
         s_incl = log_t + jax.lax.dot_general(
             log1m, triu_ones, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)         # (256, CHUNK)
+            precision=mm_precision)                      # (256, CHUNK)
         contribute = s_incl >= LOG_T_EPS                # monotone ⇒ no cummax
         s_excl = s_incl - log1m
         w = jnp.where(contribute, alpha * jnp.exp(s_excl), 0.0)
@@ -156,7 +157,7 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
         accum = accum + jax.lax.dot_general(
             w, payload, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)         # (256, 8)
+            precision=mm_precision)                      # (256, 8)
         n_contrib = n_contrib + jnp.sum(
             contribute.astype(jnp.float32), axis=1, keepdims=True)
         log_t = log_t + jnp.sum(jnp.where(contribute, log1m, 0.0),
@@ -192,12 +193,13 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "max_pairs",
                                              "n_payload", "max_chunks",
-                                             "early_exit"))
+                                             "early_exit", "mm_precision"))
 def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
                              background, width: int, height: int,
                              max_pairs: int, n_payload: int,
                              max_chunks: int = 4096,
-                             early_exit: bool = True):
+                             early_exit: bool = True,
+                             mm_precision=jax.lax.Precision.HIGHEST):
     """pair_data: (16, max_pairs); returns (num_tiles, 256, 16) with
     columns [blend(8) incl bg-composited colors, log_t, n_contrib, 0...]."""
     grid_x, grid_y = tile_grid(width, height, TILE)
@@ -207,7 +209,7 @@ def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
     bg = bg.at[0, :background.shape[0]].set(background)
 
     kernel = functools.partial(_fwd_kernel, num_tiles, grid_x, max_chunks,
-                               n_payload, early_exit)
+                               n_payload, early_exit, mm_precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
