@@ -82,7 +82,7 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
                 jnp.asarray(p.tan_fovy))
 
     out = jfn(params, *args(0))
-    jax.block_until_ready(out)
+    _ = np.asarray(out[0, 0])  # block_until_ready does not sync this backend
     # the remote-TPU tunnel has high latency variance; take the best trial
     # of several, each over distinct cameras (identical requests are deduped
     # by the transport and must not be timed)
@@ -91,7 +91,7 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
         t0 = time.perf_counter()
         for i in range(frames):
             out = jfn(params, *args(trial * frames + i))
-        jax.block_until_ready(out)
+        _ = np.asarray(out[0, 0])  # materialize → true completion
         best = min(best, (time.perf_counter() - t0) / frames)
     return 1.0 / best
 
@@ -139,7 +139,7 @@ def bench_train(width=800, height=800, n=100_000, iters=10):
                           jnp.asarray(3, jnp.int32), jnp.zeros(3), cfg)
 
     out = one(0, state, adam, exp_adam, carry)
-    jax.block_until_ready(out.state.params["xyz"])
+    _ = np.asarray(out.state.params["xyz"][0, 0])
     state, adam, exp_adam, carry = (out.state, out.adam, out.exp_adam,
                                     out.carry)
     # params evolve every step, so every request is distinct; best-of-trials
@@ -151,7 +151,7 @@ def bench_train(width=800, height=800, n=100_000, iters=10):
             out = one(i, state, adam, exp_adam, carry)
             state, adam, exp_adam, carry = (out.state, out.adam,
                                             out.exp_adam, out.carry)
-        jax.block_until_ready(state.params["xyz"])
+        _ = np.asarray(state.params["xyz"][0, 0])
         best = min(best, (time.perf_counter() - t0) / iters)
     return 1.0 / best
 
