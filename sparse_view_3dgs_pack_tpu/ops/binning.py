@@ -105,7 +105,11 @@ def bin_gaussians_aligned(means2d, depths, radii, width: int, height: int,
 
     pad = (-b.tile_counts) % align
     cum_pad = jnp.cumsum(pad) - pad                     # exclusive
-    out_size = max_pairs + align * num_tiles
+    # pad budget: alignment padding is ≤ align·(nonempty tiles) but typically
+    # ~align/2 per active tile; a max_pairs-sized budget keeps the buffer
+    # (and the row-gather over it) small. Overflow → pairs dropped at the
+    # tail → total_pairs (returned vs buffer size) lets the host grow.
+    out_size = max_pairs + min(align * num_tiles, max_pairs)
 
     # tile of each sorted pair (num_tiles sentinel for padding slots)
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
@@ -118,8 +122,17 @@ def bin_gaussians_aligned(means2d, depths, radii, width: int, height: int,
         b.ids, mode="drop")
     new_starts = (b.tile_starts + cum_pad).astype(jnp.int32)
     new_counts = (b.tile_counts + pad).astype(jnp.int32)
+    # guard against pad-budget overflow: clamp ranges into the buffer and
+    # report an inflated total so the host grows max_pairs
+    new_starts = jnp.minimum(new_starts, out_size)
+    new_counts = jnp.minimum(new_counts,
+                             jnp.maximum(out_size - new_starts, 0))
+    total_padded = b.total_pairs + jnp.sum(pad)
+    reported = jnp.maximum(b.total_pairs,
+                           total_padded - (out_size - max_pairs))
     return Binning(ids=new_ids, tile_starts=new_starts,
-                   tile_counts=new_counts, total_pairs=b.total_pairs)
+                   tile_counts=new_counts,
+                   total_pairs=reported.astype(jnp.int32))
 
 
 def count_pairs(means2d, depths, radii, width, height, tile: int = TILE):

@@ -48,32 +48,34 @@ def pack_pair_data(proj, ids) -> jnp.ndarray:
 
 def pack_fields(means2d, depths, conics, colors, opacities,
                 ids) -> jnp.ndarray:
-    """Gather per-pair Gaussian data → (16, max_pairs) f32.
+    """Gather per-pair Gaussian data → (16, n_pairs_buf) f32.
 
     Rows: 0 mx, 1 my, 2 conic a, 3 conic b, 4 conic c, 5 opacity,
           6..6+C-1 colors, 6+C invdepth, 7+C depth, rest zero.
+
+    Performance note: assembled as a (P, 16) row matrix and gathered with ONE
+    row gather — on TPU a row gather of 16-float rows is ~8× faster than 13
+    per-column element gathers (random gathers cost per *gather op element*,
+    rows amortise it).
     """
     C = colors.shape[-1]
     assert C <= 8, "payload supports up to 8 color channels"
     safe_depth = jnp.where(jnp.isfinite(depths), depths, 1.0)
-    valid = (ids >= 0).astype(jnp.float32)
-    ids_c = jnp.maximum(ids, 0)
-    rows = [means2d[:, 0], means2d[:, 1],
+    cols = [means2d[:, 0], means2d[:, 1],
             conics[:, 0], conics[:, 1], conics[:, 2],
             opacities]
     for c in range(C):
-        rows.append(colors[:, c])
-    rows.append(1.0 / safe_depth)
-    rows.append(safe_depth)
-    data = jnp.stack(rows, axis=0)                     # (6+C+2, P)
-    data = data[:, ids_c]                              # (D, MP)
-    # sentinel pairs (alignment padding, id -1) render with opacity 0
-    data = data.at[5, :].multiply(valid)
-    pad = DROWS - data.shape[0]
-    if pad > 0:
-        data = jnp.concatenate(
-            [data, jnp.zeros((pad, data.shape[1]), data.dtype)], axis=0)
-    # slack columns so the last 128-aligned tile range can DMA a full CHUNK
+        cols.append(colors[:, c])
+    cols.append(1.0 / safe_depth)
+    cols.append(safe_depth)
+    while len(cols) < DROWS:
+        cols.append(jnp.zeros_like(safe_depth))
+    rows = jnp.stack(cols, axis=1)                     # (P, 16)
+    # sentinel row (id -1 → opacity 0): append one zero row at index P
+    rows = jnp.concatenate([rows, jnp.zeros((1, DROWS), rows.dtype)], axis=0)
+    ids_c = jnp.where(ids >= 0, ids, rows.shape[0] - 1)
+    data = rows[ids_c].T                               # (16, NBUF)
+    # slack columns so the last aligned tile range can DMA a full CHUNK
     return jnp.concatenate(
         [data, jnp.zeros((DROWS, CHUNK), data.dtype)], axis=1)
 
