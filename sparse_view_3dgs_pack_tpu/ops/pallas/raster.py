@@ -74,12 +74,10 @@ def pack_fields(means2d, depths, conics, colors, opacities,
     # sentinel row (id -1 → opacity 0): append one zero row at index P
     rows = jnp.concatenate([rows, jnp.zeros((1, DROWS), rows.dtype)], axis=0)
     ids_c = jnp.where(ids >= 0, ids, rows.shape[0] - 1)
-    data = rows[ids_c]                                 # (NBUF, 16) row-major
-    # NO transpose: XLA would fuse it into the gather and re-serialise it.
-    # The kernels consume (pairs, 16) and transpose per chunk in VMEM.
-    # Slack rows so the last aligned tile range can DMA a full CHUNK.
+    data = rows[ids_c].T                               # (16, NBUF)
+    # slack columns so the last aligned tile range can DMA a full CHUNK
     return jnp.concatenate(
-        [data, jnp.zeros((CHUNK, DROWS), data.dtype)], axis=0)
+        [data, jnp.zeros((DROWS, CHUNK), data.dtype)], axis=1)
 
 
 def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
@@ -105,10 +103,10 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
     py = pix_ref[:, 1:2] + ty
 
     def dma(slot, k):
-        # tile ranges are CHUNK-aligned by bin_gaussians_aligned
+        # tile ranges are 128-aligned by bin_gaussians_aligned; tell Mosaic
         off = pl.multiple_of(start + k * CHUNK, 128)
         return pltpu.make_async_copy(
-            pairs_hbm.at[pl.ds(off, CHUNK), :],
+            pairs_hbm.at[:, pl.ds(off, CHUNK)],
             buf.at[slot], sems.at[slot])
 
     @pl.when(n_chunks > 0)
@@ -131,7 +129,7 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
             dma((k + 1) % 2, k + 1).start()
 
         dma(slot, k).wait()
-        d = buf[slot].T                                 # (CHUNK,16)→(16,CHUNK)
+        d = buf[slot]                                   # (16, CHUNK)
         mx = d[0:1, :]
         my = d[1:2, :]
         ca = d[2:3, :]
@@ -225,7 +223,7 @@ def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
         out_specs=pl.BlockSpec((1, PIX, 16), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, DROWS), jnp.float32),
+            pltpu.VMEM((2, DROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

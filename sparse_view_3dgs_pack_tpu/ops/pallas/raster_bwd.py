@@ -86,7 +86,7 @@ def _bwd_kernel(grid_x, max_chunks,
     def dma_in(slot, k):
         off = pl.multiple_of(start + k * CHUNK, 128)
         return pltpu.make_async_copy(
-            pairs_hbm.at[pl.ds(off, CHUNK), :], buf.at[slot], sems.at[slot])
+            pairs_hbm.at[:, pl.ds(off, CHUNK)], buf.at[slot], sems.at[slot])
 
     first = n_chunks - 1  # reverse order
 
@@ -104,7 +104,7 @@ def _bwd_kernel(grid_x, max_chunks,
             dma_in((i + 1) % 2, k - 1).start()
 
         dma_in(slot, k).wait()
-        d = buf[slot].T                  # (CHUNK,16) → (16,CHUNK)
+        d = buf[slot]                    # (16, CHUNK)
         mx = d[0:1, :] - txf             # tile-local means
         my = d[1:2, :] - tyf
         ca = d[2:3, :]
@@ -177,7 +177,7 @@ def _bwd_kernel(grid_x, max_chunks,
         def out_dma(s, chunk_idx):
             o = pl.multiple_of(start + chunk_idx * CHUNK, 128)
             return pltpu.make_async_copy(
-                gbuf.at[s], grads_hbm.at[pl.ds(o, CHUNK), :], osem.at[s])
+                gbuf.at[s], grads_hbm.at[:, pl.ds(o, CHUNK)], osem.at[s])
 
         # double-buffered write-out: drain the copy issued 2 chunks ago
         # (chunk k+2, same slot) before overwriting the buffer
@@ -185,10 +185,14 @@ def _bwd_kernel(grid_x, max_chunks,
         def _():
             out_dma(slot, k + 2).wait()
 
-        grows = jnp.concatenate(
-            [d_mx, d_my, d_a, d_b, d_c, d_opacity, d_payload,
-             jnp.zeros((2, CHUNK), jnp.float32)], axis=0)   # (16, CHUNK)
-        gbuf[slot] = grows.T                                # (CHUNK, 16)
+        gbuf[slot, 0:1, :] = d_mx
+        gbuf[slot, 1:2, :] = d_my
+        gbuf[slot, 2:3, :] = d_a
+        gbuf[slot, 3:4, :] = d_b
+        gbuf[slot, 4:5, :] = d_c
+        gbuf[slot, 5:6, :] = d_opacity
+        gbuf[slot, 6:14, :] = d_payload                   # (8, CHUNK)
+        gbuf[slot, 14:16, :] = jnp.zeros((2, CHUNK), jnp.float32)
         out_dma(slot, k).start()
 
         new_c_log = c_log + jnp.sum(jnp.where(contrib, log1m, 0.0), axis=1,
@@ -212,7 +216,7 @@ def _bwd_kernel(grid_x, max_chunks,
             chunk_idx = first - (i - j)
             o = pl.multiple_of(start + chunk_idx * CHUNK, 128)
             pltpu.make_async_copy(gbuf.at[(i - j) % 2],
-                                  grads_hbm.at[pl.ds(o, CHUNK), :],
+                                  grads_hbm.at[:, pl.ds(o, CHUNK)],
                                   osem.at[(i - j) % 2]).wait()
 
     drain_out(1)
@@ -248,8 +252,8 @@ def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, DROWS), jnp.float32),
-            pltpu.VMEM((2, CHUNK, GROWS), jnp.float32),
+            pltpu.VMEM((2, DROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, GROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -257,7 +261,7 @@ def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((pair_data.shape[0], GROWS),
+        out_shape=jax.ShapeDtypeStruct((GROWS, pair_data.shape[1]),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),

@@ -85,9 +85,9 @@ def make_pallas_rasterizer(width: int, height: int, channels: int):
         P = means2d.shape[0]
         valid = ids >= 0
         seg_ids = jnp.where(valid, ids, P)  # dropped bucket
-        d_pairs = d_pairs[:ids.shape[0], :]  # (NBUF, 16), drop DMA slack
-        contrib = jnp.where(valid[:, None], d_pairs[:, :14], 0.0)
-        per_gauss = jax.ops.segment_sum(contrib, seg_ids,
+        d_pairs = d_pairs[:, :ids.shape[0]]  # drop the DMA slack columns
+        contrib = jnp.where(valid[None, :], d_pairs[:14], 0.0)  # (14, NBUF)
+        per_gauss = jax.ops.segment_sum(contrib.T, seg_ids,
                                         num_segments=P + 1)[:P]  # (P, 14)
 
         d_means2d = per_gauss[:, 0:2]
