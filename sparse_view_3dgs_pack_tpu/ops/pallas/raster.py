@@ -74,7 +74,11 @@ def pack_fields(means2d, depths, conics, colors, opacities,
     # sentinel row (id -1 → opacity 0): append one zero row at index P
     rows = jnp.concatenate([rows, jnp.zeros((1, DROWS), rows.dtype)], axis=0)
     ids_c = jnp.where(ids >= 0, ids, rows.shape[0] - 1)
-    data = rows[ids_c].T                               # (16, NBUF)
+    data = rows[ids_c]                                 # (NBUF, 16) row gather
+    # The barrier stops XLA fusing the transpose INTO the gather (a fused
+    # transposing gather degrades to per-element access, ~8× slower).
+    data = jax.lax.optimization_barrier(data)
+    data = data.T                                      # (16, NBUF)
     # slack columns so the last aligned tile range can DMA a full CHUNK
     return jnp.concatenate(
         [data, jnp.zeros((DROWS, CHUNK), data.dtype)], axis=1)
