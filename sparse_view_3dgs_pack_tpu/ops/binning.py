@@ -27,6 +27,7 @@ class Binning(NamedTuple):
     tile_starts: jnp.ndarray  # (num_tiles,) int32
     tile_counts: jnp.ndarray  # (num_tiles,) int32
     total_pairs: jnp.ndarray  # () int32 — actual pairs; > max_pairs means overflow
+    pair_tiles: jnp.ndarray = None  # (max_pairs,) int32 tile of each sorted pair
 
 
 def tile_grid(width: int, height: int, tile: int = TILE):
@@ -78,7 +79,8 @@ def bin_gaussians(means2d, depths, radii, width: int, height: int,
     ends = jnp.searchsorted(sorted_tile, tile_range, side="right").astype(jnp.int32)
     return Binning(ids=sorted_ids, tile_starts=starts,
                    tile_counts=ends - starts,
-                   total_pairs=total.astype(jnp.int32))
+                   total_pairs=total.astype(jnp.int32),
+                   pair_tiles=sorted_tile)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_pairs", "tile",
@@ -111,11 +113,12 @@ def bin_gaussians_aligned(means2d, depths, radii, width: int, height: int,
     # tail → total_pairs (returned vs buffer size) lets the host grow.
     out_size = max_pairs + min(align * num_tiles, max_pairs)
 
-    # tile of each sorted pair (num_tiles sentinel for padding slots)
+    # tile of each sorted pair comes straight from the sort (a 2M-probe
+    # searchsorted here costs ~300ms on TPU — it lowers to serialized
+    # binary-search gathers)
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
     in_range = slot < b.total_pairs
-    pair_tile = jnp.searchsorted(b.tile_starts, slot, side="right") - 1
-    pair_tile = jnp.clip(pair_tile, 0, num_tiles - 1)
+    pair_tile = jnp.clip(b.pair_tiles, 0, num_tiles - 1)
     new_idx = jnp.where(in_range, slot + cum_pad[pair_tile], out_size)
 
     new_ids = jnp.full((out_size,), -1, jnp.int32).at[new_idx].set(
