@@ -141,15 +141,28 @@ class Trainer:
                 print(f"[capacity] grown to {new_cap}")
 
     def _maybe_grow_pairs(self, n_pairs: int):
+        """Grow the pair bucket on overflow; shrink when persistently
+        oversized (ALL binning/pack costs scale with the bucket)."""
         if n_pairs > self._raster_cfg.max_pairs:
             self.overflow_streak += 1
             new_pairs = self._raster_cfg.max_pairs
             while new_pairs < n_pairs * 1.3:
                 new_pairs *= 2
             self.pipe.max_pairs = new_pairs
+            self._shrink_streak = 0
             self._rebuild_config()
             if not self.quiet:
                 print(f"[raster] pair bucket grown to {new_pairs}")
+        elif (n_pairs * 3 < self._raster_cfg.max_pairs
+              and self._raster_cfg.max_pairs > (1 << 16)):
+            self._shrink_streak = getattr(self, "_shrink_streak", 0) + 1
+            if self._shrink_streak >= 5:   # ≈500 iters of headroom
+                self.pipe.max_pairs = self._raster_cfg.max_pairs // 2
+                self._shrink_streak = 0
+                self._rebuild_config()
+                if not self.quiet:
+                    print(f"[raster] pair bucket shrunk to "
+                          f"{self.pipe.max_pairs}")
 
     # ---------------------------------------------------------------- step
     def pick_camera(self) -> int:
