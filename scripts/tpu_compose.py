@@ -16,7 +16,7 @@ from sparse_view_3dgs_pack_tpu.ops.pallas import raster as pr
 
 W = H = 800
 N = 100_000
-MP = 1 << 21
+MP = 1 << int(os.environ.get("MPLOG", "21"))
 cloud = make_gaussian_cloud(0, N, extent=2.0, scale_range=(0.004, 0.02))
 cam = make_orbit_cameras(1, radius=6.0, width=W, height_px=H)[0]
 p = cam.params()
