@@ -46,7 +46,7 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
     cloud = build_scene(n)
     cams = make_orbit_cameras(4 * frames, radius=6.0, width=width,
                               height_px=height)
-    max_pairs = 1 << 21
+    max_pairs = 1 << 21  # 1080p, 200k gaussians → ~1M pairs + padding
 
     params = {
         "xyz": jnp.asarray(cloud["xyz"]),
@@ -122,7 +122,7 @@ def bench_train(width=800, height=800, n=100_000, iters=10):
     import jax as _jax
     cfg = StepConfig(
         width=width, height=height, sh_degree=3,
-        raster=RasterConfig(max_pairs=1 << 21, max_per_tile=1024,
+        raster=RasterConfig(max_pairs=1 << 19, max_per_tile=1024,
                             tile_batch=128),
         use_pallas=_jax.default_backend() not in ("cpu",),
         dwt_enable=True, patch_dwt_enable=True, patch_size=128)

@@ -185,7 +185,9 @@ def default_raster_config(capacity: int, width: int, height: int,
     training loop), per-tile list capped by pairs and tile count."""
     num_tiles = ((width + 15) // 16) * ((height + 15) // 16)
     if max_pairs <= 0:
-        max_pairs = max(1 << 16, _next_pow2(capacity * 8))
+        # start modest: the training loop grows on overflow and shrinks when
+        # oversized; every binning/pack cost scales with this bucket
+        max_pairs = max(1 << 17, _next_pow2(capacity * 4))
     if max_per_tile <= 0:
         max_per_tile = min(4096, max(256, _next_pow2(max_pairs // max(num_tiles // 8, 1))))
     tile_batch = max(1, min(tile_batch, num_tiles))
