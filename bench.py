@@ -46,7 +46,8 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
     cloud = build_scene(n)
     cams = make_orbit_cameras(4 * frames, radius=6.0, width=width,
                               height_px=height)
-    max_pairs = 1 << 21  # 1080p, 200k gaussians → ~1M pairs + padding
+    # buckets need not be powers of two; ~1.05M real pairs at 1080p
+    max_pairs = 1_441_792
 
     params = {
         "xyz": jnp.asarray(cloud["xyz"]),
