@@ -116,7 +116,8 @@ def rasterize_binned(proj: Projected, binning: Binning, width: int,
             [origin_x[tsel], origin_y[tsel]], -1)[:, None, :].astype(jnp.float32)
         W = _gauss_coeffs(local, proj.conics[gidx])        # (TB, K, 6)
         power = jnp.einsum("pf,tkf->tpk", F, W,
-                           preferred_element_type=jnp.float32)  # (TB, t², K)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # (TB, t², K)
 
         opac = proj.opacities[gidx]                        # (TB, K)
         alpha = jnp.minimum(
@@ -127,7 +128,8 @@ def rasterize_binned(proj: Projected, binning: Binning, width: int,
 
         weights, log_t = blend_weights(alpha, axis=-1)     # (TB, t², K)
         out = jnp.einsum("tpk,tkc->tpc", weights, payload[gidx],
-                         preferred_element_type=jnp.float32)  # (TB, t², C+2)
+                         preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # (TB, t², C+2)
         t_final = jnp.exp(log_t)                           # (TB, t²)
         color = out[..., :C] + t_final[..., None] * background
         return jnp.concatenate(
