@@ -63,6 +63,7 @@ class DNGConfig(NamedTuple):
     use_smooth: bool = False
     use_soft: bool = False
     use_mask: bool = False   # DTU: mask photometric loss (train_dtu.py:84-105)
+    use_pallas: bool = False
 
 
 def _neural_outputs(neural_params, state, cam_center, cfg: DNGConfig):
@@ -133,7 +134,7 @@ def dng_step(state, neural_params, adam, neural_adam, bank: CameraBank,
             p, alive_f, jnp.eye(3, 4), cam, cfg.width, cfg.height, bg,
             sh_degree_active=cfg.sh_degree, config=cfg.raster,
             override_color=color, opacity_override=opac,
-            viewspace_offset=offset)
+            viewspace_offset=offset, use_pallas=cfg.use_pallas)
 
     # ---- pass 1: hard depth (opacity frozen at 0.95, geometry trains)
     def hard_loss(params):
@@ -283,6 +284,7 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
             error_tolerance=opt.error_tolerance,
             shape_pena=opt.shape_pena, scale_pena=opt.scale_pena,
             opa_pena=opt.opa_pena, use_mask=(dataset_type == "dtu"),
+            use_pallas=jax.default_backend() not in ("cpu",),
             use_smooth=(it > 3000), use_soft=(it > opt.soft_depth_start))
 
         lrs = {k: jnp.asarray(f(it), jnp.float32)

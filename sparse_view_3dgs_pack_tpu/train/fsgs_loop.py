@@ -45,6 +45,7 @@ class FSGSConfig(NamedTuple):
     sh_degree: int
     raster: RasterConfig
     lambda_dssim: float = 0.2
+    use_pallas: bool = False
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -64,7 +65,8 @@ def fsgs_step(state, adam, bank: CameraBank, cam_idx, lrs, depth_weight,
         p["features_rest"] = params["features_rest"] * band[1:][None]
         res = render_core(p, alive_f, jnp.eye(3, 4), cam, cfg.width,
                           cfg.height, bg, sh_degree_active=cfg.sh_degree,
-                          config=cfg.raster, viewspace_offset=offset)
+                          config=cfg.raster, viewspace_offset=offset,
+                          use_pallas=cfg.use_pallas)
         image = res.render * alpha_mask
         ll1 = l1_loss_mask(image, gt)
         loss = ((1.0 - cfg.lambda_dssim) * ll1
@@ -93,7 +95,8 @@ def fsgs_render_pseudo(state, cam: CameraParams, active_degree, bg,
     p["features_rest"] = state.params["features_rest"] * band[1:][None]
     res = render_core(p, state.alive.astype(jnp.float32), jnp.eye(3, 4), cam,
                       cfg.width, cfg.height, bg,
-                      sh_degree_active=cfg.sh_degree, config=cfg.raster)
+                      sh_degree_active=cfg.sh_degree, config=cfg.raster,
+                      use_pallas=cfg.use_pallas)
     return res.render, res.expected_depth
 
 
@@ -110,7 +113,7 @@ def fsgs_pseudo_step(state, adam, cam: CameraParams, midas_pseudo, lrs,
         p["features_rest"] = params["features_rest"] * band[1:][None]
         res = render_core(p, alive_f, jnp.eye(3, 4), cam, cfg.width,
                           cfg.height, bg, sh_degree_active=cfg.sh_degree,
-                          config=cfg.raster)
+                          config=cfg.raster, use_pallas=cfg.use_pallas)
         return pseudo_depth_loss(res.expected_depth, midas_pseudo)
 
     loss, gp = jax.value_and_grad(loss_fn)(state.params)
@@ -163,7 +166,8 @@ def train_fsgs(dataset, opt, pipe, args):
                                        getattr(pipe, "max_per_tile", 0),
                                        getattr(pipe, "tile_batch", 64))
     cfg = FSGSConfig(width=W, height=H, sh_degree=dataset.sh_degree,
-                     raster=raster_cfg, lambda_dssim=opt.lambda_dssim)
+                     raster=raster_cfg, lambda_dssim=opt.lambda_dssim,
+                     use_pallas=jax.default_backend() not in ("cpu",))
 
     # pseudo poses (reference `scene/__init__.py:83-95`)
     if "360" in dataset.source_path:

@@ -55,7 +55,7 @@ def nir_step(state, adam, carry_dwt, bank: CameraBank, cam_idx, lrs,
         p["features_rest"] = params["features_rest"] * band[1:][None]
         res = render_core(p, alive_f, jnp.eye(3, 4), cam, b.width, b.height,
                           bg, sh_degree_active=b.sh_degree, config=b.raster,
-                          viewspace_offset=offset)
+                          viewspace_offset=offset, use_pallas=b.use_pallas)
         image = res.render * alpha_mask
         ll1 = l1_loss(image, gt)
         loss = ((1.0 - b.lambda_dssim) * ll1
@@ -84,7 +84,8 @@ def nir_step(state, adam, carry_dwt, bank: CameraBank, cam_idx, lrs,
                       * params["nir_gain"][0])        # (CAP, 1)
         nres = render_core(p, alive_f, jnp.eye(3, 4), cam, b.width, b.height,
                            jnp.zeros((1,)), sh_degree_active=b.sh_degree,
-                           config=b.raster, override_color=nir_colors)
+                           config=b.raster, override_color=nir_colors,
+                           use_pallas=b.use_pallas)
         nir_pred = nres.render[..., 0] * alpha_mask[..., 0]
         nloss = combined_nir_loss(nir_pred, nir_gt)
         loss = loss + cfg.nir_weight * nloss
@@ -122,6 +123,7 @@ def train_nir(dataset, opt, pipe, args):
     base = StepConfig(
         width=W, height=H, sh_degree=dataset.sh_degree, raster=raster_cfg,
         lambda_dssim=opt.lambda_dssim,
+        use_pallas=jax.default_backend() not in ("cpu",),
         dwt_enable=getattr(opt, "dwt_enable", True),
         dwt_weights=(opt.dwt_ll1_weight, opt.dwt_lh1_weight,
                      opt.dwt_hl1_weight, opt.dwt_hh1_weight,
