@@ -45,7 +45,7 @@ def make_pallas_rasterizer(width: int, height: int, channels: int):
         u = unpack_tiles(raw, width, height, C)
         outs = (u["color"], u["invdepth"], u["depth"],
                 1.0 - jnp.exp(u["log_t"]))
-        return outs, raw
+        return outs, raw, pd
 
     @jax.custom_vjp
     def rasterize(means2d, depths, conics, colors, opacities, ids, starts,
@@ -55,16 +55,16 @@ def make_pallas_rasterizer(width: int, height: int, channels: int):
 
     def fwd(means2d, depths, conics, colors, opacities, ids, starts, counts,
             bg):
-        outs, raw = fwd_impl(means2d, depths, conics, colors, opacities, ids,
-                             starts, counts, bg)
+        outs, raw, pd = fwd_impl(means2d, depths, conics, colors, opacities,
+                                 ids, starts, counts, bg)
         aux = raw[:, :, 8:10]   # (num_tiles, 256, 2): log_t, n_contrib
-        res = (means2d, depths, conics, colors, opacities, ids, starts,
-               counts, bg, aux)
+        # pd kept as residual: repacking in bwd would cost a second big
+        # row-gather
+        res = (depths, ids, starts, counts, bg, aux, pd)
         return outs, res
 
     def bwd(res, cot):
-        (means2d, depths, conics, colors, opacities, ids, starts, counts,
-         bg, aux) = res
+        (depths, ids, starts, counts, bg, aux, pd) = res
         d_color, d_invd, d_depth, d_alpha = cot
 
         g_img = jnp.concatenate([
@@ -78,11 +78,10 @@ def make_pallas_rasterizer(width: int, height: int, channels: int):
         aux3 = jnp.concatenate([aux, ga_tiles], axis=-1)  # (T, 256, 3)
 
         bg_row = jnp.zeros((1, 8), jnp.float32).at[0, :C].set(bg)
-        pd = pack_fields(means2d, depths, conics, colors, opacities, ids)
         d_pairs = rasterize_backward_pallas(pd, starts, counts, g_tiles,
                                             aux3, bg_row, width, height)
 
-        P = means2d.shape[0]
+        P = depths.shape[0]
         valid = ids >= 0
         seg_ids = jnp.where(valid, ids, P)  # dropped bucket
         d_pairs = d_pairs[:, :ids.shape[0]]  # drop the DMA slack columns
