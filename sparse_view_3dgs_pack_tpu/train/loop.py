@@ -286,6 +286,16 @@ def simple_train(scene, opt, pipe, dataset_args, method="lgdwt",
             stats = trainer.evaluate(scene.getTestCameras() or
                                      scene.getTrainCameras()[:4])
             print(f"\n[ITER {it}] Evaluating: PSNR {stats.get('psnr', 0):.2f}")
+            if reporter.writer is not None and getattr(opt, "dwt_enable",
+                                                       False):
+                # WEF heatmaps for the first eval view (reference TB hooks)
+                cam0 = (scene.getTestCameras() or scene.getTrainCameras())[0]
+                from ..renderer import render as _render
+                res = _render(trainer.state, cam0, trainer.background,
+                              sh_degree_active=trainer.active_sh_degree,
+                              config=trainer._raster_cfg)
+                reporter.wef_heatmaps(it, res.render,
+                                      jnp.asarray(cam0.image[..., :3]))
             if reporter.writer is not None:
                 reporter.writer.add_scalar("test/psnr",
                                            stats.get("psnr", 0.0), it)

@@ -47,6 +47,8 @@ def main(argv=None):
                         help="DNGaussian spiral near-range pruning distance")
     parser.add_argument("--depth_estimator", type=str, default="auto",
                         choices=["auto", "precomputed", "midas", "none"])
+    parser.add_argument("--profile", type=str, default="",
+                        help="write a jax.profiler trace to this directory")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
@@ -65,8 +67,16 @@ def main(argv=None):
     write_cfg_args(args.model_path, args)
 
     from sparse_view_3dgs_pack_tpu.train.recipes import train_method
+    if args.profile:
+        try:
+            jax.profiler.start_trace(args.profile)
+        except Exception as e:
+            print(f"[profiler] disabled ({e})")
+            args.profile = ""
     train_method(known.method, lp.extract(args), op.extract(args),
                  pp.extract(args), args)
+    if args.profile:
+        jax.profiler.stop_trace()
 
     print("\nTraining complete.")
 
