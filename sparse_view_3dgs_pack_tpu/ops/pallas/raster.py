@@ -15,9 +15,9 @@ reference's architecture (`forward.cu:276-414`) but TPU-shaped:
   no sequential dependence, no cummax.
 * Per-chunk blend contraction (w @ payload) rides the MXU.
 
-Outputs per tile: (C+2 blend channels, log_T, n_contrib) laid out
-(num_tiles, 8, 256) for lane-aligned writes; `unpack_tiles` reshapes to
-images.
+Outputs per tile: (num_tiles, 256, 16) columns = [blend(8) with background
+composited into the first C, log_T, n_contrib, zeros]; `unpack_tiles`
+reshapes to images.
 """
 
 from __future__ import annotations
