@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from .projection import Projected
 
 TILE = 16
+CHUNK = 128  # kernel chunk size; aligned-binning align MUST equal this
 
 
 class Binning(NamedTuple):
@@ -97,7 +98,7 @@ def bin_gaussians(means2d, depths, radii, width: int, height: int,
                                    "align"))
 def bin_gaussians_aligned(means2d, depths, radii, width: int, height: int,
                           max_pairs: int, tile: int = TILE,
-                          align: int = 256) -> Binning:
+                          align: int = CHUNK) -> Binning:
     """Binning with every tile's range start aligned to `align` pairs.
 
     Each tile's pair count is padded up to a multiple of `align` with

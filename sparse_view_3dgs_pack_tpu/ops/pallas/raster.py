@@ -30,11 +30,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..binning import Binning, tile_grid
+from ..binning import CHUNK, Binning, tile_grid
 
 TILE = 16
 PIX = TILE * TILE           # 256 pixels per tile
-CHUNK = 256                 # pairs per inner chunk
 DROWS = 16                  # pair-data rows (mx,my,a,b,c,op,payload[<=8],...)
 ALPHA_EPS = 1.0 / 255.0
 ALPHA_MAX = 0.99
