@@ -124,7 +124,7 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
     triu_ones = (row_i <= col_i).astype(jnp.float32)
 
     def body(state):
-        k, log_t, accum, n_contrib = state
+        k, log_t, done, accum, n_contrib = state
         slot = k % 2
 
         @pl.when(k + 1 < n_chunks)
@@ -154,7 +154,14 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
             log1m, triu_ones, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mm_precision)                      # (256, CHUNK)
-        contribute = s_incl >= LOG_T_EPS                # monotone ⇒ no cummax
+        # CUDA's T<1e-4 stop is PERMANENT: contribution must be a prefix per
+        # pixel (the backward replays it from n_contrib). Within a chunk
+        # s_incl is monotone, but the carry excludes post-crossing alphas, so
+        # a later small alpha could re-cross above the threshold — the sticky
+        # `done` flag forbids that.
+        contribute = (s_incl >= LOG_T_EPS) & (done < 0.5)
+        done = jnp.maximum(done,
+                           (s_incl[:, -1:] < LOG_T_EPS).astype(jnp.float32))
         s_excl = s_incl - log1m
         w = jnp.where(contribute, alpha * jnp.exp(s_excl), 0.0)
 
@@ -167,19 +174,20 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
             contribute.astype(jnp.float32), axis=1, keepdims=True)
         log_t = log_t + jnp.sum(jnp.where(contribute, log1m, 0.0),
                                 axis=1, keepdims=True)
-        return k + 1, log_t, accum, n_contrib
+        return k + 1, log_t, done, accum, n_contrib
 
     def cond(state):
-        k, log_t, _, _ = state
+        k, _, done, _, _ = state
         if early_exit:
-            return (k < n_chunks) & (jnp.max(log_t) >= LOG_T_EPS)
+            return (k < n_chunks) & (jnp.min(done) < 0.5)
         return k < n_chunks
 
     init = (jnp.asarray(0, jnp.int32),
             jnp.zeros((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32),
             jnp.zeros((PIX, 8), jnp.float32),
             jnp.zeros((PIX, 1), jnp.float32))
-    k, log_t, accum, n_contrib = jax.lax.while_loop(cond, body, init)
+    k, log_t, done, accum, n_contrib = jax.lax.while_loop(cond, body, init)
 
     # Early exit leaves the prefetched next-chunk DMA in flight; drain it so
     # the next grid step's scratch/semaphore state is clean.

@@ -90,6 +90,8 @@ class Trainer:
         use_pallas = getattr(self.pipe, "use_pallas", None)
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
+        if os.environ.get("GS_FORCE_XLA_RASTER"):
+            use_pallas = False
         self._cfg = StepConfig(
             width=self.width, height=self.height, channels=self.channels,
             sh_degree=self.dataset_args.sh_degree, raster=self._raster_cfg,

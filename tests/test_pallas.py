@@ -135,3 +135,46 @@ def test_pallas_multichunk_carries():
         scale = max(np.abs(rga).max(), 1e-3)
         np.testing.assert_allclose(ga, rga, atol=1e-4 * scale, rtol=5e-3,
                                    err_msg=name)
+
+
+def test_pallas_sticky_early_stop():
+    """Regression: the T<1e-4 stop must be PERMANENT. A mid-list crossing
+    followed by tiny alphas used to let pairs re-contribute, breaking the
+    n_contrib prefix the backward replays (gradients exploded ~1e5x in real
+    training)."""
+    # many high-alpha gaussians at the same spot (forces a crossing), then
+    # many very-low-alpha ones behind them
+    n = 320
+    cloud = testing.make_gaussian_cloud(9, n, extent=0.4,
+                                        scale_range=(0.05, 0.15))
+    cloud["xyz"][:] = cloud["xyz"] * 0.05  # all in one tile's view
+    cloud["opacity"][:n // 2] = 4.0        # alpha ~0.98 front
+    cloud["opacity"][n // 2:] = -4.8       # alpha ~0.008 behind
+    cam = testing.make_orbit_cameras(1, radius=4.0, width=W, height_px=H)[0]
+    p = cam.params()
+    # order by depth so the high-alpha ones come first for some pixels
+    proj = project_gaussians(
+        means3d=jnp.asarray(cloud["xyz"]),
+        scales=jnp.exp(jnp.asarray(cloud["scales"])),
+        quats=jnp.asarray(cloud["quats"]),
+        opacities=jax.nn.sigmoid(jnp.asarray(cloud["opacity"][:, 0])),
+        viewmat=jnp.asarray(p.viewmat), full_proj=jnp.asarray(p.full_proj),
+        cam_center=jnp.asarray(p.cam_center),
+        tan_fovx=float(p.tan_fovx), tan_fovy=float(p.tan_fovy),
+        width=W, height=H, sh=jnp.asarray(cloud["features"]), sh_degree=0)
+    bg = jnp.array([0.3, 0.3, 0.3])
+    (color, invd, depth, alpha), grads, gw, ba = _run_pallas(
+        proj, bg, grad=True, max_pairs=1 << 14)
+    assert int(ba.tile_counts.max()) > 256  # crossing is mid-multi-chunk
+    ref, ref_grads = _oracle(proj, bg, gw)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                               atol=5e-4)
+    for g, rg, name in zip(grads, ref_grads,
+                           ("means2d", "depths", "conics", "colors",
+                            "opacities")):
+        mask = np.asarray(proj.radii) > 0
+        ga, rga = np.asarray(g)[mask], np.asarray(rg)[mask]
+        scale = max(np.abs(rga).max(), 1e-3)
+        # the old bug produced ~1e5 relative errors here
+        np.testing.assert_allclose(ga, rga, atol=2e-3 * scale, rtol=5e-2,
+                                   err_msg=name)
