@@ -10,9 +10,10 @@ reference's architecture (`forward.cu:276-414`) but TPU-shaped:
   ACTUAL pair count (scalar-prefetched), so work ∝ Σ pairs, not
   tiles × max_per_tile. An all-pixels-saturated early exit skips trailing
   chunks (the T < 1e-4 stop of the CUDA loop).
-* Blending uses the monotone log-transmittance form: s = cumsum(log1p(-α))
-  is non-increasing, so the CUDA stop condition is simply s ≥ log(1e-4) —
-  no sequential dependence, no cummax.
+* Blending uses the log-transmittance form: s = cumsum(log1p(-α)); within a
+  chunk s is non-increasing so the CUDA stop is `s ≥ log(1e-4)`, and a sticky
+  per-pixel `done` flag makes the stop PERMANENT across chunks (contribution
+  must be a per-pixel prefix — the backward replays it from `n_contrib`).
 * Per-chunk blend contraction (w @ payload) rides the MXU.
 
 Outputs per tile: (num_tiles, 256, 16) columns = [blend(8) with background
