@@ -64,7 +64,8 @@ class DensifyResult(NamedTuple):
 def densify_and_prune(state: GaussianState, opt_state: AdamState,
                       key: jax.Array, max_grad: float, min_opacity: float,
                       extent, max_screen_size: int = 0,
-                      percent_dense: float = 0.01) -> DensifyResult:
+                      percent_dense: float = 0.01,
+                      extra_split_mask=None) -> DensifyResult:
     cap = state.capacity
     params = state.params
     alive = state.alive
@@ -78,6 +79,11 @@ def densify_and_prune(state: GaussianState, opt_state: AdamState,
     selected = alive & (grads >= max_grad)
     clone_mask = selected & (max_scale <= percent_dense * extent)
     split_mask = selected & (max_scale > percent_dense * extent)
+    if extra_split_mask is not None:
+        # FSGS adds a distance-based split criterion independent of the
+        # gradient stats (`FSGS/scene/gaussian_model.py:434-437`)
+        split_mask = split_mask | (alive & extra_split_mask)
+        clone_mask = clone_mask & ~split_mask
 
     # ---------------------------------------------------------- appends
     n_new_per = clone_mask * 1 + split_mask * 2
@@ -154,6 +160,56 @@ def densify_and_prune(state: GaussianState, opt_state: AdamState,
     pruned = jnp.sum(prune).astype(jnp.int32)
     return DensifyResult(final_state, opt_state, requested.astype(jnp.int32),
                          appended.astype(jnp.int32), pruned)
+
+
+@jax.jit
+def proximity_densify(state: GaussianState, opt_state: AdamState,
+                      nn_idx, mask) -> DensifyResult:
+    """FSGS proximity densification (`FSGS/scene/gaussian_model.py:405-421`):
+    for each selected outlier Gaussian, append 3 midpoints to its nearest
+    neighbours, taking the neighbour's scale and opacity, identity rotation,
+    and black (zero) SH features. `nn_idx` is (CAP, 3) neighbour indices and
+    `mask` the (CAP,) selection (dist > 5·extent and max-scale > extent,
+    restricted to alive sources with alive neighbours)."""
+    cap = state.capacity
+    params = state.params
+    base = state.n_alive
+
+    n_new_per = mask * 3
+    offs = jnp.cumsum(n_new_per) - n_new_per          # exclusive
+    requested = offs[-1] + n_new_per[-1]
+
+    new_params = dict(params)
+    ident_quat = jnp.zeros_like(params["rotation"]).at[:, 0].set(1.0)
+    for j in range(3):
+        nb = nn_idx[:, j]
+        dst = jnp.where(mask, base + offs + j, cap)
+        for k, a in list(new_params.items()):
+            if not (a.ndim >= 1 and a.shape[0] == cap):
+                continue
+            if k == "xyz":
+                val = 0.5 * (params["xyz"] + params["xyz"][nb])
+            elif k == "rotation":
+                val = ident_quat
+            elif k in ("features_dc", "features_rest"):
+                val = jnp.zeros_like(a)
+            else:                       # scaling, opacity, NIR extras
+                val = params[k][nb]
+            new_params[k] = a.at[dst].set(val, mode="drop")
+
+    appended = jnp.minimum(requested, cap - base)
+    slot_ids = jnp.arange(cap, dtype=jnp.int32)
+    newmask = (slot_ids >= base) & (slot_ids < base + appended)
+    opt_state = zero_adam_slots(opt_state, newmask)
+    new_state = state._replace(
+        params=new_params, alive=state.alive | newmask,
+        n_alive=base + appended,
+        xyz_gradient_accum=jnp.zeros(cap),
+        denom=jnp.zeros(cap),
+        max_radii2d=jnp.zeros(cap))
+    return DensifyResult(new_state, opt_state, requested.astype(jnp.int32),
+                         appended.astype(jnp.int32),
+                         jnp.zeros((), jnp.int32))
 
 
 @jax.jit
