@@ -37,7 +37,7 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
     import jax.numpy as jnp
 
     from sparse_view_3dgs_pack_tpu.data.cameras import CameraParams
-    from sparse_view_3dgs_pack_tpu.ops.binning import bin_gaussians_aligned
+    from sparse_view_3dgs_pack_tpu.ops.binning import bin_gaussians
     from sparse_view_3dgs_pack_tpu.ops.pallas.raster_vjp import \
         make_pallas_rasterizer
     from sparse_view_3dgs_pack_tpu.ops.projection import project_gaussians
@@ -65,7 +65,7 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
             opacities=p["opac"], viewmat=viewmat, full_proj=full_proj,
             cam_center=cam_center, tan_fovx=tanx, tan_fovy=tany,
             width=width, height=height, sh=p["sh"], sh_degree=0)
-        ba = bin_gaussians_aligned(proj.means2d, proj.depths, proj.radii,
+        ba = bin_gaussians(proj.means2d, proj.depths, proj.radii,
                                    width, height, max_pairs)
         color, _, _, _ = raster_fn(proj.means2d, proj.depths, proj.conics,
                                    proj.colors, proj.opacities, ba.ids,

@@ -32,7 +32,15 @@ struct File {
     bool read(T* out, size_t n = 1) {
         return std::fread(out, sizeof(T), n, f) == n;
     }
-    bool skip(long n) { return std::fseek(f, n, SEEK_CUR) == 0; }
+    bool skip(long long n) { return std::fseek(f, n, SEEK_CUR) == 0; }
+    // Total file size in bytes (restores position); -1 on failure.
+    long long size() {
+        long long pos = std::ftell(f);
+        if (pos < 0 || std::fseek(f, 0, SEEK_END) != 0) return -1;
+        long long end = std::ftell(f);
+        if (std::fseek(f, pos, SEEK_SET) != 0) return -1;
+        return end;
+    }
 };
 
 PyObject* io_error(const char* path, const char* what) {
@@ -48,9 +56,23 @@ PyObject* read_points3d_bin(PyObject*, PyObject* args) {
 
     uint64_t n;
     if (!fp.read(&n)) return io_error(path, "truncated header");
+    // Sanity: counts are raw uint64 from the file — a corrupt/crafted file
+    // could make n*3 wrap or a huge allocation abort the process. Each
+    // record is at least 8(pid)+24(xyz)+3(rgb)+8(err)+8(track len) bytes.
+    const long long fsize = fp.size();
+    if (fsize < 0) return io_error(path, "cannot stat");
+    if (n > static_cast<uint64_t>(fsize) / 51)
+        return io_error(path, "corrupt header: point count exceeds file size");
 
-    std::vector<double> xyz(n * 3), err(n);
-    std::vector<uint8_t> rgb(n * 3);
+    std::vector<double> xyz, err;
+    std::vector<uint8_t> rgb;
+    try {
+        xyz.resize(static_cast<size_t>(n) * 3);
+        err.resize(static_cast<size_t>(n));
+        rgb.resize(static_cast<size_t>(n) * 3);
+    } catch (const std::bad_alloc&) {
+        return PyErr_NoMemory();
+    }
     for (uint64_t i = 0; i < n; ++i) {
         uint64_t pid, tlen;
         if (!fp.read(&pid)) return io_error(path, "truncated point id");
@@ -58,7 +80,8 @@ PyObject* read_points3d_bin(PyObject*, PyObject* args) {
         if (!fp.read(&rgb[i * 3], 3)) return io_error(path, "truncated rgb");
         if (!fp.read(&err[i])) return io_error(path, "truncated error");
         if (!fp.read(&tlen)) return io_error(path, "truncated track len");
-        if (!fp.skip(static_cast<long>(tlen * 8)))
+        if (tlen > static_cast<uint64_t>(fsize) / 8 ||
+            !fp.skip(static_cast<long long>(tlen) * 8))
             return io_error(path, "truncated track");
     }
     PyObject* bx = PyBytes_FromStringAndSize(

@@ -12,7 +12,7 @@ log("devices:", jax.devices())
 
 from sparse_view_3dgs_pack_tpu.testing import make_gaussian_cloud, make_orbit_cameras
 from sparse_view_3dgs_pack_tpu.ops.projection import project_gaussians, Projected
-from sparse_view_3dgs_pack_tpu.ops.binning import bin_gaussians, bin_gaussians_aligned
+from sparse_view_3dgs_pack_tpu.ops.binning import bin_gaussians
 from sparse_view_3dgs_pack_tpu.ops.pallas.raster_vjp import make_pallas_rasterizer
 from sparse_view_3dgs_pack_tpu.ops.rasterize_tiles import RasterConfig, rasterize_binned
 
@@ -34,7 +34,7 @@ def proj_of(c):
 c = {k: jnp.asarray(v) for k, v in cloud.items()}
 proj = proj_of(c)
 MP = 1 << 13
-ba = bin_gaussians_aligned(proj.means2d, proj.depths, proj.radii, W, H, MP)
+ba = bin_gaussians(proj.means2d, proj.depths, proj.radii, W, H, MP)
 b = bin_gaussians(proj.means2d, proj.depths, proj.radii, W, H, MP)
 bg = jnp.array([0.1, 0.2, 0.3])
 fn = make_pallas_rasterizer(W, H, 3)
@@ -119,7 +119,7 @@ def frame(c):
         cam_center=jnp.asarray(p2.cam_center), tan_fovx=float(p2.tan_fovx),
         tan_fovy=float(p2.tan_fovy), width=W2, height=H2, sh=c["features"],
         sh_degree=0)
-    bb = bin_gaussians_aligned(pr.means2d, pr.depths, pr.radii, W2, H2, MP2)
+    bb = bin_gaussians(pr.means2d, pr.depths, pr.radii, W2, H2, MP2)
     col, _, _, _ = fn2(pr.means2d, pr.depths, pr.conics, pr.colors,
                        pr.opacities, bb.ids, bb.tile_starts, bb.tile_counts,
                        jnp.zeros(3))
@@ -152,7 +152,7 @@ def train_like(c):
         cam_center=jnp.asarray(p3.cam_center), tan_fovx=float(p3.tan_fovx),
         tan_fovy=float(p3.tan_fovy), width=W3, height=H3, sh=c["features"],
         sh_degree=0)
-    bb = bin_gaussians_aligned(pr.means2d, pr.depths, pr.radii, W3, H3, MP2)
+    bb = bin_gaussians(pr.means2d, pr.depths, pr.radii, W3, H3, MP2)
 
     def loss(c):
         pr2 = project_gaussians(

@@ -13,7 +13,7 @@ log("devices:", jax.devices())
 
 from sparse_view_3dgs_pack_tpu.testing import make_gaussian_cloud, make_orbit_cameras
 from sparse_view_3dgs_pack_tpu.ops.projection import project_gaussians
-from sparse_view_3dgs_pack_tpu.ops.binning import bin_gaussians_aligned
+from sparse_view_3dgs_pack_tpu.ops.binning import bin_gaussians
 from sparse_view_3dgs_pack_tpu.ops.pallas import raster as pr
 from sparse_view_3dgs_pack_tpu.ops.pallas.raster_bwd import rasterize_backward_pallas
 from sparse_view_3dgs_pack_tpu.ops.pallas.raster_vjp import make_pallas_rasterizer, _tile_pack
@@ -59,11 +59,14 @@ proj0 = proj_fn(c0)
 # (e) binning chained: perturb means2d
 @jax.jit
 def bin_chain(m2):
-    ba = bin_gaussians_aligned(m2, proj0.depths, proj0.radii, W, H, MP)
-    return m2 + 1e-6 * (ba.total_pairs.astype(jnp.float32) % 3)
-chain_time(bin_chain, proj0.means2d, label="aligned binning")
+    ba = bin_gaussians(m2, proj0.depths, proj0.radii, W, H, MP)
+    # consume ids/starts/counts so XLA cannot DCE the sort
+    probe = (ba.ids[0] + ba.tile_starts[17] + ba.tile_counts[33]
+             + ba.total_pairs).astype(jnp.float32)
+    return m2 + 1e-6 * (probe % 3)
+chain_time(bin_chain, proj0.means2d, label="binning (u32-key sort)")
 
-ba0 = bin_gaussians_aligned(proj0.means2d, proj0.depths, proj0.radii, W, H, MP)
+ba0 = bin_gaussians(proj0.means2d, proj0.depths, proj0.radii, W, H, MP)
 log("pairs: %d padded: %d" % (int(ba0.total_pairs), int(ba0.tile_counts.sum())))
 
 # (f) pack chained
@@ -131,7 +134,7 @@ def render_grad_chain(c):
             cam_center=jnp.asarray(p.cam_center), tan_fovx=float(p.tan_fovx),
             tan_fovy=float(p.tan_fovy), width=W, height=H, sh=cc["features"],
             sh_degree=0)
-        ba = bin_gaussians_aligned(pr_.means2d, pr_.depths, pr_.radii, W, H, MP)
+        ba = bin_gaussians(pr_.means2d, pr_.depths, pr_.radii, W, H, MP)
         col, _, _, _ = fn(pr_.means2d, pr_.depths, pr_.conics, pr_.colors,
                           pr_.opacities, ba.ids, ba.tile_starts,
                           ba.tile_counts, jnp.zeros(3))

@@ -3,10 +3,16 @@
 Replaces the CUDA pipeline `duplicateWithKeys → cub radix sort →
 identifyTileRanges` (`rasterizer_impl.cu:70-138,306-317`) with an XLA-native
 equivalent: bounded pair expansion via `jnp.repeat(total_repeat_length=...)`,
-a lexicographic `lax.sort` on (tile, depth), and `searchsorted` tile ranges.
+a single-u32-key `lax.sort` on packed [tileID | depth-bits] keys (the exact
+analogue of CUDA's radix sort on [tileID|depth] 64-bit keys — TPU sorts get
+~2× cheaper per dropped operand/key), and `searchsorted` tile ranges.
 Capacity is a static bucket (`max_pairs`); the returned `total_pairs` lets the
 host grow the bucket and re-jit on overflow — the static-shape analogue of the
 reference's dynamically resized binning buffers (`rasterize_points.cu:27`).
+
+Tile ranges are NOT aligned: the Pallas kernels DMA from the 128-aligned
+floor of each tile's start and mask the head lanes (see
+`pallas/raster.py`), which avoids an expensive 2M-element scatter pass here.
 """
 
 from __future__ import annotations
@@ -20,7 +26,7 @@ import jax.numpy as jnp
 from .projection import Projected
 
 TILE = 16
-CHUNK = 128  # kernel chunk size; aligned-binning align MUST equal this
+CHUNK = 128  # kernel chunk size (DMA alignment quantum)
 
 
 class Binning(NamedTuple):
@@ -47,12 +53,36 @@ def gaussian_rects(means2d, radii, width, height, tile: int = TILE):
     return min_x, max_x, min_y, max_y
 
 
+def _key_bits(num_tiles: int):
+    """Bit split for the packed sort key: [tile_id | depth_bits].
+
+    depth bits come from the monotone bit pattern of positive f32 depths
+    (sign 0, so integer compare == float compare), truncated. Capped at 22
+    so the quantized value is exact in an f32 table row (ints < 2^24)."""
+    tile_bits = max(1, (num_tiles + 1 - 1).bit_length())
+    depth_bits = min(32 - tile_bits, 22)
+    return tile_bits, depth_bits
+
+
+def _expand_by_offsets(col, offsets, max_pairs: int):
+    """Repeat-expand an int32 per-gaussian column to per-pair slots WITHOUT
+    a gather: scatter boundary DIFFS at each gaussian's first slot, then
+    cumsum. A TPU general gather runs at ~1 element / 12 cycles (25 ms for
+    2M rows); this is two streaming passes (~0.6 ms). Coinciding offsets
+    (touched==0 gaussians) telescope correctly under scatter-ADD."""
+    diffs = jnp.diff(col, prepend=jnp.zeros((1,), col.dtype))
+    buf = jnp.zeros((max_pairs,), col.dtype).at[offsets].add(diffs,
+                                                             mode="drop")
+    return jnp.cumsum(buf)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "max_pairs", "tile"))
 def bin_gaussians(means2d, depths, radii, width: int, height: int,
                   max_pairs: int, tile: int = TILE) -> Binning:
     P = means2d.shape[0]
     grid_x, grid_y = tile_grid(width, height, tile)
     num_tiles = grid_x * grid_y
+    _, depth_bits = _key_bits(num_tiles)
 
     min_x, max_x, min_y, max_y = gaussian_rects(means2d, radii, width, height, tile)
     rect_w = max_x - min_x
@@ -61,37 +91,70 @@ def bin_gaussians(means2d, depths, radii, width: int, height: int,
     offsets = jnp.cumsum(touched) - touched        # exclusive
     total = offsets[-1] + touched[-1]
 
-    gauss_ids = jnp.repeat(jnp.arange(P, dtype=jnp.int32), touched,
-                           total_repeat_length=max_pairs)
-    # ONE row-gather for all per-pair gaussian attributes (five separate
-    # element-gathers cost ~5× more on TPU). Small ints are exact in f32.
-    table = jnp.stack([min_x.astype(jnp.float32),
-                       min_y.astype(jnp.float32),
-                       jnp.maximum(rect_w, 1).astype(jnp.float32),
-                       offsets.astype(jnp.float32),
-                       depths.astype(jnp.float32),
-                       jnp.zeros((P,), jnp.float32),
-                       jnp.zeros((P,), jnp.float32),
-                       jnp.zeros((P,), jnp.float32)], axis=1)   # (P, 8)
-    g = table[gauss_ids]                                        # (MP, 8)
+    # monotone depth→int quantization: positive-f32 bit patterns sort like
+    # the floats; keep the top `depth_bits` bits (ties broken by the stable
+    # sort in expansion order, like CUB radix on equal keys)
+    dbits = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(
+            jnp.where(jnp.isfinite(depths), depths, 0.0).astype(jnp.float32),
+            jnp.uint32),
+        jnp.uint32(32 - depth_bits)).astype(jnp.int32)
+
+    # expand per-gaussian attributes to per-pair slots via scatter+cumsum
+    # (no gathers anywhere on the 2M side before the sort)
+    gauss_ids = _expand_by_offsets(jnp.arange(P, dtype=jnp.int32), offsets,
+                                   max_pairs)
+    rw = _expand_by_offsets(jnp.maximum(rect_w, 1), offsets, max_pairs)
+    offs = _expand_by_offsets(offsets, offsets, max_pairs)
+    # base = first tile of the rect; dkey packed in the same expansion
+    base_tile = min_y * grid_x + min_x
+    base = _expand_by_offsets(base_tile, offsets, max_pairs)
+    dkey = _expand_by_offsets(dbits, offsets, max_pairs)
+
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
     pair_valid = slot < total
-    j = slot - g[:, 3].astype(jnp.int32)
-    rw = g[:, 2].astype(jnp.int32)
-    tx = g[:, 0].astype(jnp.int32) + j % rw
-    ty = g[:, 1].astype(jnp.int32) + j // rw
-    tile_id = jnp.where(pair_valid, ty * grid_x + tx, num_tiles)
+    j = slot - offs
+    tile_id = jnp.where(pair_valid, base + (j // rw) * grid_x + j % rw,
+                        num_tiles)
 
-    sorted_tile, _, sorted_ids = jax.lax.sort(
-        (tile_id, g[:, 4], gauss_ids), num_keys=2, is_stable=True)
+    # single packed u32 key (CUDA: 64-bit [tile|depth] radix sort,
+    # `rasterizer_impl.cu:306-311`); invalid pairs get the max tile id and
+    # sort to the tail, outside every tile's range
+    key = (tile_id.astype(jnp.uint32) << depth_bits) | \
+        dkey.astype(jnp.uint32)
+    sorted_key, sorted_ids = jax.lax.sort((key, gauss_ids), num_keys=1,
+                                          is_stable=True)
 
-    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, tile_range, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tile_range, side="right").astype(jnp.int32)
+    probes = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << depth_bits)
+    bounds = jnp.searchsorted(sorted_key, probes, side="left",
+                              method="scan_unrolled").astype(jnp.int32)
+    starts = bounds[:-1]
+    counts = bounds[1:] - starts
+    # pair_tiles (sorted_key >> depth_bits) costs a 2M-element pass and no
+    # production path needs it; bin_gaussians_with_tiles computes it
     return Binning(ids=sorted_ids, tile_starts=starts,
-                   tile_counts=ends - starts,
+                   tile_counts=counts,
                    total_pairs=total.astype(jnp.int32),
-                   pair_tiles=sorted_tile)
+                   pair_tiles=None)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_pairs", "tile"))
+def bin_gaussians_with_tiles(means2d, depths, radii, width: int, height: int,
+                             max_pairs: int, tile: int = TILE) -> Binning:
+    """bin_gaussians + the per-pair tile id (needed by the aligned variant
+    and some diagnostics)."""
+    b = bin_gaussians(means2d, depths, radii, width, height, max_pairs, tile)
+    grid_x, grid_y = tile_grid(width, height, tile)
+    num_tiles = grid_x * grid_y
+    slot = jnp.arange(max_pairs, dtype=jnp.int32)
+    # recover each sorted pair's tile from the range structure: tile of slot
+    # = searchsorted(starts, slot) - 1 is another big op; cheapest exact
+    # recovery is a boundary scatter + cumsum like the expansion trick
+    marks = jnp.zeros((max_pairs + 1,), jnp.int32).at[b.tile_starts].add(1)
+    pair_tile = jnp.cumsum(marks[:-1]) - 1
+    pair_tile = jnp.where(slot < b.total_pairs,
+                          jnp.clip(pair_tile, 0, num_tiles - 1), num_tiles)
+    return b._replace(pair_tiles=pair_tile)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_pairs", "tile",
@@ -114,7 +177,8 @@ def bin_gaussians_aligned(means2d, depths, radii, width: int, height: int,
     """
     grid_x, grid_y = tile_grid(width, height, tile)
     num_tiles = grid_x * grid_y
-    b = bin_gaussians(means2d, depths, radii, width, height, max_pairs, tile)
+    b = bin_gaussians_with_tiles(means2d, depths, radii, width, height,
+                                 max_pairs, tile)
 
     pad = (-b.tile_counts) % align
     cum_pad = jnp.cumsum(pad) - pad                     # exclusive

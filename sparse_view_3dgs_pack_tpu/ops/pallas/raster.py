@@ -6,10 +6,17 @@ reference's architecture (`forward.cu:276-414`) but TPU-shaped:
 * Pair data is pre-gathered into a depth-sorted (16, max_pairs) array, so
   every tile's working set is a CONTIGUOUS slice — the kernel double-buffers
   (16, CHUNK) slices HBM→VMEM with async DMA.
+* Tile ranges are UNALIGNED (the binning does no alignment pass): each tile
+  DMAs from the 128-aligned floor of its start and masks the `head` lanes
+  that belong to the previous tile. This trades a handful of masked lanes
+  for the removal of an entire 2M-element scatter in binning.
 * Grid = one program per 16×16 tile; the chunk loop bound is that tile's
   ACTUAL pair count (scalar-prefetched), so work ∝ Σ pairs, not
   tiles × max_per_tile. An all-pixels-saturated early exit skips trailing
   chunks (the T < 1e-4 stop of the CUDA loop).
+* Each grid step prefetches the NEXT tile's first chunk into a dedicated
+  slot pair, so a tile never stalls on its first-chunk DMA latency (at 1080p
+  there are 8160 tiles; un-hidden, those stalls alone cost ~10 ms).
 * Blending uses the log-transmittance form: s = cumsum(log1p(-α)); within a
   chunk s is non-increasing so the CUDA stop is `s ≥ log(1e-4)`, and a sticky
   per-pixel `done` flag makes the stop PERMANENT across chunks (contribution
@@ -97,7 +104,13 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
-    n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, max_chunks)
+    base = (start // CHUNK) * CHUNK        # 128-aligned DMA origin
+    head = start - base                    # foreign leading lanes to mask
+    # count==0 must give 0 chunks even when head>0, or the loop would wait
+    # on a DMA that was never issued (hang → watchdog kernel fault)
+    n_chunks = jnp.where(
+        count > 0,
+        jnp.minimum((head + count + CHUNK - 1) // CHUNK, max_chunks), 0)
 
     # tile-local pixel coordinates come in as a precomputed constant (host
     # iota+mod on (256,1) sublane vectors has shown Mosaic lowering issues)
@@ -107,15 +120,42 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
     py = pix_ref[:, 1:2] + ty
 
     def dma(slot, k):
-        # tile ranges are 128-aligned by bin_gaussians_aligned; tell Mosaic
-        off = pl.multiple_of(start + k * CHUNK, 128)
+        off = pl.multiple_of(base + k * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             pairs_hbm.at[:, pl.ds(off, CHUNK)],
             buf.at[slot], sems.at[slot])
 
-    @pl.when(n_chunks > 0)
-    def _():
-        dma(0, 0).start()
+    # chunk 0 lives in a dedicated per-tile-parity slot: tile t's chunk 0 was
+    # prefetched by grid step t-1 (t=0 issues its own), and we prefetch tile
+    # t+1's chunk 0 now — its slot (2 + (t+1)%2) is idle for all of step t.
+    PREFETCH = 2   # 0: none, 1: own chunk0 into parity slot, 2: cross-step
+    slot0 = 2 + (t % 2) if PREFETCH else jnp.int32(0)
+
+    if PREFETCH == 2:
+        @pl.when((t == 0) & (count > 0))
+        def _():
+            dma(slot0, 0).start()
+
+        @pl.when(t + 1 < num_tiles)
+        def _():
+            ncount = counts_ref[t + 1]
+
+            @pl.when(ncount > 0)
+            def _():
+                nbase = (starts_ref[t + 1] // CHUNK) * CHUNK
+                nslot = 2 + ((t + 1) % 2)
+                pltpu.make_async_copy(
+                    pairs_hbm.at[:, pl.ds(pl.multiple_of(nbase, CHUNK),
+                                          CHUNK)],
+                    buf.at[nslot], sems.at[nslot]).start()
+    elif PREFETCH == 1:
+        @pl.when(count > 0)
+        def _():
+            dma(slot0, 0).start()
+    else:
+        @pl.when(n_chunks > 0)
+        def _():
+            dma(0, 0).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     # cumsum along the chunk axis as an MXU matmul with an upper-triangular
@@ -126,7 +166,7 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
 
     def body(state):
         k, log_t, done, accum, n_contrib = state
-        slot = k % 2
+        slot = jnp.where(k == 0, slot0, k % 2)
 
         @pl.when(k + 1 < n_chunks)
         def _():
@@ -146,7 +186,8 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         G = jnp.exp(jnp.minimum(power, 0.0))
         alpha = jnp.minimum(ALPHA_MAX, op * G)
-        valid = (lane + k * CHUNK) < count
+        pos = lane + k * CHUNK                          # chunk-relative
+        valid = (pos >= head) & (pos < head + count)
         alpha = jnp.where((power > 0.0) | (alpha < ALPHA_EPS) | ~valid,
                           0.0, alpha)
 
@@ -159,8 +200,9 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
         # pixel (the backward replays it from n_contrib). Within a chunk
         # s_incl is monotone, but the carry excludes post-crossing alphas, so
         # a later small alpha could re-cross above the threshold — the sticky
-        # `done` flag forbids that.
-        contribute = (s_incl >= LOG_T_EPS) & (done < 0.5)
+        # `done` flag forbids that. `valid` keeps head/tail padding lanes out
+        # of n_contrib (still a prefix: valid is itself a contiguous range).
+        contribute = (s_incl >= LOG_T_EPS) & (done < 0.5) & valid
         done = jnp.maximum(done,
                            (s_incl[:, -1:] < LOG_T_EPS).astype(jnp.float32))
         s_excl = s_incl - log1m
@@ -211,7 +253,7 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
 def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
                              background, width: int, height: int,
                              max_pairs: int, n_payload: int,
-                             max_chunks: int = 4096,
+                             max_chunks: int = 1 << 22,
                              early_exit: bool = True,
                              mm_precision=jax.lax.Precision.HIGHEST):
     """pair_data: (16, max_pairs); returns (num_tiles, 256, 16) with
@@ -228,15 +270,16 @@ def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # pairs stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # pairs stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bg
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tile-local pixel xy
         ],
         out_specs=pl.BlockSpec((1, PIX, 16), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, DROWS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            # slots 0/1: interior double-buffer; 2/3: chunk-0 per tile parity
+            pltpu.VMEM((4, DROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     out = pl.pallas_call(

@@ -15,6 +15,14 @@ deterministic by construction:
 * per-PAIR gradients go to disjoint slots of the sorted pair array (each pair
   belongs to exactly one tile), and a single `jax.ops.segment_sum` outside
   the kernel reduces pairs → Gaussians. No atomics anywhere.
+* tile ranges are UNALIGNED: a 128-chunk at a tile boundary is shared with
+  the previous tile(s), which already wrote their gradients there (the grid
+  is sequential and each step drains its write DMAs). The first chunk of a
+  tile therefore does a read-modify-write: existing grads are DMA'd in at
+  grid-step START (latency hidden behind the tile's other chunks) and added
+  to this tile's masked contribution before write-out. All other chunks are
+  owned exclusively and written directly (zeros in any trailing foreign
+  lanes, which the NEXT tile's RMW then accumulates into).
 
 Gradient convention notes: the α=0.99 clamp and the α<1/255 / power>0 skips
 carry zero gradient (clamp-aware; the CUDA kernel leaks gradient through the
@@ -39,7 +47,7 @@ from .raster import (ALPHA_EPS, ALPHA_MAX, CHUNK, DROWS, LOG_T_EPS, PIX,
 GROWS = 16  # grad rows: mx,my,a,b,c,op,payload(8),pad,pad
 
 
-def _bwd_kernel(grid_x, max_chunks,
+def _bwd_kernel(num_tiles, grid_x, max_chunks,
                 # scalar prefetch
                 starts_ref, counts_ref,
                 # inputs
@@ -47,11 +55,24 @@ def _bwd_kernel(grid_x, max_chunks,
                 # outputs
                 grads_hbm,
                 # scratch
-                buf, gbuf, sems, osem):
+                buf, gbuf, rbuf, sems, osem, rsem):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
-    n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, max_chunks)
+    base = (start // CHUNK) * CHUNK
+    head = start - base
+    # count==0 must give 0 chunks even when head>0 (no DMA is issued then)
+    n_chunks = jnp.where(
+        count > 0,
+        jnp.minimum((head + count + CHUNK - 1) // CHUNK, max_chunks), 0)
+
+    # RMW prefetch: the first (shared) chunk's existing gradients, written by
+    # previous grid steps (their out-DMAs are drained per step → no race)
+    @pl.when((head > 0) & (count > 0))
+    def _():
+        pltpu.make_async_copy(
+            grads_hbm.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+            rbuf, rsem).start()
 
     # tile-LOCAL pixel coordinates (precomputed input): keeps the moment
     # expansion Σq·dx² = R0 − 2m·R3 + m²·R5 well conditioned (global coords
@@ -84,20 +105,41 @@ def _bwd_kernel(grid_x, max_chunks,
     tril_excl = (row_i > col_i).astype(jnp.float32)    # reverse-cumsum excl
 
     def dma_in(slot, k):
-        off = pl.multiple_of(start + k * CHUNK, 128)
+        off = pl.multiple_of(base + k * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             pairs_hbm.at[:, pl.ds(off, CHUNK)], buf.at[slot], sems.at[slot])
 
     first = n_chunks - 1  # reverse order
+    # the first-processed chunk (the tile's LAST chunk) was prefetched by the
+    # previous grid step into the tile-parity slot; prefetch the next tile's
+    # now (its slot is idle throughout this step)
+    slot0 = 2 + (t % 2)
 
-    @pl.when(n_chunks > 0)
+    @pl.when((t == 0) & (count > 0))
     def _():
-        dma_in(0, first).start()
+        dma_in(slot0, first).start()
+
+    @pl.when(t + 1 < num_tiles)
+    def _():
+        ncount = counts_ref[t + 1]
+
+        @pl.when(ncount > 0)
+        def _():
+            nstart = starts_ref[t + 1]
+            nbase = (nstart // CHUNK) * CHUNK
+            nchunks = jnp.minimum(
+                (nstart - nbase + ncount + CHUNK - 1) // CHUNK, max_chunks)
+            noff = pl.multiple_of(nbase + (nchunks - 1) * CHUNK, CHUNK)
+            nslot = 2 + ((t + 1) % 2)
+            pltpu.make_async_copy(
+                pairs_hbm.at[:, pl.ds(noff, CHUNK)],
+                buf.at[nslot], sems.at[nslot]).start()
 
     def body(state):
         i, c_log, s_carry = state        # i counts processed chunks
         k = first - i                    # actual chunk index (reverse)
-        slot = i % 2
+        slot = jnp.where(i == 0, slot0, i % 2)
+        oslot = i % 2
 
         @pl.when(i + 1 < n_chunks)
         def _():
@@ -120,10 +162,10 @@ def _bwd_kernel(grid_x, max_chunks,
         alpha_raw = op * G
         clamped = alpha_raw > ALPHA_MAX
         alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
-        gidx = lane + k * CHUNK
+        gidx = lane + k * CHUNK - head   # index within the tile's own pairs
         contrib = ((gidx.astype(jnp.float32) < n_contrib)
                    & (power <= 0.0) & (alpha >= ALPHA_EPS)
-                   & (gidx < count))
+                   & (gidx >= 0) & (gidx < count))
         alpha = jnp.where(contrib, alpha, 0.0)
         log1m = jnp.log1p(-alpha)
 
@@ -175,7 +217,7 @@ def _bwd_kernel(grid_x, max_chunks,
             precision=jax.lax.Precision.HIGHEST)
 
         def out_dma(s, chunk_idx):
-            o = pl.multiple_of(start + chunk_idx * CHUNK, 128)
+            o = pl.multiple_of(base + chunk_idx * CHUNK, CHUNK)
             return pltpu.make_async_copy(
                 gbuf.at[s], grads_hbm.at[:, pl.ds(o, CHUNK)], osem.at[s])
 
@@ -183,17 +225,28 @@ def _bwd_kernel(grid_x, max_chunks,
         # (chunk k+2, same slot) before overwriting the buffer
         @pl.when(i >= 2)
         def _():
-            out_dma(slot, k + 2).wait()
+            out_dma(oslot, k + 2).wait()
 
-        gbuf[slot, 0:1, :] = d_mx
-        gbuf[slot, 1:2, :] = d_my
-        gbuf[slot, 2:3, :] = d_a
-        gbuf[slot, 3:4, :] = d_b
-        gbuf[slot, 4:5, :] = d_c
-        gbuf[slot, 5:6, :] = d_opacity
-        gbuf[slot, 6:14, :] = d_payload                   # (8, CHUNK)
-        gbuf[slot, 14:16, :] = jnp.zeros((2, CHUNK), jnp.float32)
-        out_dma(slot, k).start()
+        gbuf[oslot, 0:1, :] = d_mx
+        gbuf[oslot, 1:2, :] = d_my
+        gbuf[oslot, 2:3, :] = d_a
+        gbuf[oslot, 3:4, :] = d_b
+        gbuf[oslot, 4:5, :] = d_c
+        gbuf[oslot, 5:6, :] = d_opacity
+        gbuf[oslot, 6:14, :] = d_payload                  # (8, CHUNK)
+        gbuf[oslot, 14:16, :] = jnp.zeros((2, CHUNK), jnp.float32)
+
+        # shared boundary chunk: accumulate previous tiles' gradients
+        # (prefetched at step start; our own lanes are zero there and theirs
+        # are zero in our mask, so a plain add merges exactly)
+        @pl.when((k == 0) & (head > 0))
+        def _():
+            pltpu.make_async_copy(
+                grads_hbm.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+                rbuf, rsem).wait()
+            gbuf[oslot] = gbuf[oslot] + rbuf[:, :]
+
+        out_dma(oslot, k).start()
 
         new_c_log = c_log + jnp.sum(jnp.where(contrib, log1m, 0.0), axis=1,
                                     keepdims=True)
@@ -214,7 +267,7 @@ def _bwd_kernel(grid_x, max_chunks,
         @pl.when(i >= j)
         def _():
             chunk_idx = first - (i - j)
-            o = pl.multiple_of(start + chunk_idx * CHUNK, 128)
+            o = pl.multiple_of(base + chunk_idx * CHUNK, CHUNK)
             pltpu.make_async_copy(gbuf.at[(i - j) % 2],
                                   grads_hbm.at[:, pl.ds(o, CHUNK)],
                                   osem.at[(i - j) % 2]).wait()
@@ -227,7 +280,7 @@ def _bwd_kernel(grid_x, max_chunks,
 def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
                               g_payload, aux, g_bg_rows,
                               width: int, height: int,
-                              max_chunks: int = 4096):
+                              max_chunks: int = 1 << 22):
     """→ per-pair grads (16, n_pairs_buf): rows [mx, my, a, b, c, opacity,
     payload(8), 0, 0].
 
@@ -237,12 +290,12 @@ def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
     grid_x, grid_y = tile_grid(width, height, TILE)
     num_tiles = grid_x * grid_y
 
-    kernel = functools.partial(_bwd_kernel, grid_x, max_chunks)
+    kernel = functools.partial(_bwd_kernel, num_tiles, grid_x, max_chunks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),               # pairs
+            pl.BlockSpec(memory_space=pl.ANY),                  # pairs
             pl.BlockSpec((1, PIX, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),              # g
             pl.BlockSpec((1, PIX, 3), lambda t, *_: (t, 0, 0),
@@ -250,12 +303,15 @@ def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
             pl.BlockSpec(memory_space=pltpu.VMEM),              # bg row
             pl.BlockSpec(memory_space=pltpu.VMEM),              # pixel xy
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, DROWS, CHUNK), jnp.float32),
+            # in slots 0/1: interior double-buffer; 2/3: per-parity last-chunk
+            pltpu.VMEM((4, DROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, GROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((GROWS, CHUNK), jnp.float32),            # RMW buffer
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),                        # RMW sem
         ],
     )
     out = pl.pallas_call(

@@ -82,7 +82,12 @@ def make_pallas_rasterizer(width: int, height: int, channels: int):
                                             aux3, bg_row, width, height)
 
         P = depths.shape[0]
-        valid = ids >= 0
+        # slots past the last tile's end were never written by the backward
+        # kernel (uninitialized HBM) — and with unaligned binning the id
+        # array's tail padding carries REAL gaussian ids, so position is the
+        # only safe mask
+        slot = jnp.arange(ids.shape[0], dtype=jnp.int32)
+        valid = (slot < jnp.max(starts + counts)) & (ids >= 0)
         seg_ids = jnp.where(valid, ids, P)  # dropped bucket
         d_pairs = d_pairs[:, :ids.shape[0]]  # drop the DMA slack columns
         contrib = jnp.where(valid[None, :], d_pairs[:14], 0.0)  # (14, NBUF)

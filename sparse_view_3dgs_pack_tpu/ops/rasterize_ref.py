@@ -27,14 +27,32 @@ class RenderOutputs(NamedTuple):
 
 def rasterize_dense(proj: Projected, width: int, height: int,
                     background: jnp.ndarray,
-                    tile_cull: bool = True) -> RenderOutputs:
+                    tile_cull: bool = True,
+                    match_binning_order: bool = True) -> RenderOutputs:
     """proj: outputs of project_gaussians. background: (C,).
 
     With tile_cull=True (default) a Gaussian only covers pixels whose 16×16
     tile intersects its 3σ rect — the same truncation the CUDA binning applies
     — so outputs are bit-comparable with the tiled rasterizer. tile_cull=False
-    gives the mathematically exact untruncated splat."""
-    order = jnp.argsort(proj.depths, stable=True)
+    gives the mathematically exact untruncated splat.
+
+    match_binning_order=True blends in the production binning's depth order
+    (truncated-f32-bit keys, ties broken by index — see
+    `binning._key_bits`); False uses exact f32 depth order (the CUDA
+    reference's 32-bit depth key, `rasterizer_impl.cu:306-311`). The two
+    differ only in the blend order of near-equal-depth Gaussians."""
+    if match_binning_order:
+        from .binning import _key_bits, tile_grid
+        gx, gy = tile_grid(width, height)
+        _, depth_bits = _key_bits(gx * gy)
+        dkey = jax.lax.shift_right_logical(
+            jax.lax.bitcast_convert_type(
+                jnp.where(jnp.isfinite(proj.depths),
+                          proj.depths, 0.0).astype(jnp.float32), jnp.uint32),
+            jnp.uint32(32 - depth_bits))
+        order = jnp.argsort(dkey, stable=True)
+    else:
+        order = jnp.argsort(proj.depths, stable=True)
     means2d = proj.means2d[order]
     conics = proj.conics[order]
     colors = proj.colors[order]

@@ -9,10 +9,29 @@ this module adds the TPU-native scale-out the rebuild is specified to have:
   multi-chip generalisation of the reference's one-view-per-iteration loop.
 * **Tile parallel (pixels)**: for large frames, image tiles are sharded
   across devices against replicated Gaussians (image-space decomposition);
-  each device rasterises its tile slice and the image is all-gathered.
+  each device rasterises its tile slice and the image is all-gathered
+  (`parallel/tiles.py`).
+
+The DP step is the REAL training step: it reuses `train.step.view_losses`
+(L1 + SSIM + DWT subbands + ELF-patch DWT + depth), per-image exposure
+optimization, sparse-adam visibility masking, and densification statistics —
+not a demo subset. Densify/prune events run host-side on the replicated
+state exactly as in the single-chip loop (the stats are psum'd by the mean
+reduction, and `densify_and_prune` is deterministic, so every replica stays
+bit-identical).
 
 Shardings are expressed with `NamedSharding` constraints inside jit — XLA
 chooses the collectives; nothing NCCL-like is hand-written.
+
+Semantics vs the sequential reference (documented deviations):
+* one DP step with B views == one SGD step on the MEAN of B per-view losses
+  (reference does B sequential steps); LRs may need the usual batch scaling.
+* the DWT running-mean EMA advances once per step using the mean ratio of
+  the batch (reference: once per view).
+* densification stats accumulate the SUM of per-view viewspace-gradient
+  NORMS and per-view visibility counts — identical to B sequential
+  reference iterations (`gaussian_model.py:471-473`), NOT the norm of the
+  summed gradient (which cancels across views).
 """
 
 from __future__ import annotations
@@ -25,13 +44,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..losses.photometric import l1_loss
-from ..losses.ssim import ssim
 from ..models.gaussians import GaussianState
-from ..renderer import render_core
 from ..train.densify import add_densification_stats
-from ..train.optim import AdamState, adam_update
-from ..train.step import CameraBank, StepConfig, sh_band_mask
+from ..train.optim import (AdamState, ExposureAdam, adam_update,
+                           exposure_adam_update)
+from ..train.step import (CameraBank, StepCarry, StepConfig, sh_band_mask,
+                          view_losses)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -50,15 +68,23 @@ class ViewBatch(NamedTuple):
     tan_fovy: jnp.ndarray    # (B,)
     gt: jnp.ndarray          # (B, H, W, C)
     alpha_mask: jnp.ndarray  # (B, H, W, 1)
+    invdepth: jnp.ndarray    # (B, H, W)
+    depth_mask: jnp.ndarray  # (B, H, W)
+    has_depth: jnp.ndarray   # (B,)
+    cam_idx: jnp.ndarray     # (B,) int32 — exposure row per view
 
     @classmethod
     def gather(cls, bank: CameraBank, idxs):
-        idxs = jnp.asarray(idxs)
+        idxs = jnp.asarray(idxs, jnp.int32)
         return cls(viewmat=bank.viewmat[idxs], full_proj=bank.full_proj[idxs],
                    cam_center=bank.cam_center[idxs],
                    tan_fovx=bank.tan_fovx[idxs],
                    tan_fovy=bank.tan_fovy[idxs], gt=bank.gt[idxs],
-                   alpha_mask=bank.alpha_mask[idxs])
+                   alpha_mask=bank.alpha_mask[idxs],
+                   invdepth=bank.invdepth[idxs],
+                   depth_mask=bank.depth_mask[idxs],
+                   has_depth=bank.has_depth[idxs],
+                   cam_idx=idxs)
 
 
 def shard_batch(batch: ViewBatch, mesh: Mesh, axis: str = "data"):
@@ -71,10 +97,31 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
 
 
+def add_densification_stats_batch(state: GaussianState, go, radii,
+                                  width: int, height: int) -> GaussianState:
+    """Per-VIEW gradient norms summed (go: (B, CAP, 2), radii: (B, CAP)).
+
+    Matches B sequential reference iterations; summing gradient VECTORS
+    before the norm would cancel across views and understate the stat."""
+    scale = jnp.array([width * 0.5, height * 0.5], jnp.float32)
+    g = jnp.linalg.norm(go[..., :2] * scale, axis=-1)       # (B, CAP)
+    visible = radii > 0                                      # (B, CAP)
+    g = jnp.where(visible, g, 0.0).sum(axis=0)
+    return state._replace(
+        xyz_gradient_accum=state.xyz_gradient_accum + g,
+        denom=state.denom + visible.astype(jnp.float32).sum(axis=0),
+        max_radii2d=jnp.maximum(state.max_radii2d,
+                                jnp.where(visible, radii, 0.0)
+                                .astype(jnp.float32).max(axis=0)),
+    )
+
+
 def build_dp_train_step(cfg: StepConfig, mesh: Mesh, axis: str = "data"):
-    """Returns a jitted step: (state, adam, batch, lrs, active_degree, bg) →
-    (state, adam, metrics). Gaussians replicated; views sharded on `axis`;
-    the mean over views makes XLA psum the parameter gradients over ICI."""
+    """Returns a jitted DP step:
+      (state, adam, exp_adam, carry, batch, lrs, exposure_lr, depth_weight,
+       active_degree, bg) → (state, adam, exp_adam, carry, metrics).
+    Gaussians replicated; views sharded on `axis`; the mean over views makes
+    XLA psum the parameter gradients over ICI."""
 
     batch_sharding = jax.tree.map(
         lambda _: NamedSharding(mesh, P(axis)),
@@ -82,46 +129,55 @@ def build_dp_train_step(cfg: StepConfig, mesh: Mesh, axis: str = "data"):
 
     from ..data.cameras import CameraParams
 
-    def per_view_loss(params, offset, view):
-        cam = CameraParams(viewmat=view.viewmat, full_proj=view.full_proj,
-                           cam_center=view.cam_center,
-                           tan_fovx=view.tan_fovx, tan_fovy=view.tan_fovy)
-        res = render_core(
-            params, params["__alive__"], jnp.eye(3, 4), cam,
-            cfg.width, cfg.height, jnp.zeros((cfg.channels,)),
-            sh_degree_active=cfg.sh_degree, config=cfg.raster,
-            antialiasing=cfg.antialiasing, viewspace_offset=offset)
-        image = res.render * view.alpha_mask
-        ll1 = l1_loss(image, view.gt)
-        s = ssim(image, view.gt)
-        loss = (1 - cfg.lambda_dssim) * ll1 + cfg.lambda_dssim * (1 - s)
-        return loss, (res.radii, ll1)
-
-    def step(state: GaussianState, adam: AdamState, batch: ViewBatch,
-             lrs: dict, active_degree, bg):
+    def step(state: GaussianState, adam: AdamState, exp_adam: ExposureAdam,
+             carry: StepCarry, batch: ViewBatch, lrs: dict, exposure_lr,
+             depth_weight, active_degree, bg):
         band = sh_band_mask(active_degree, cfg.sh_degree)
+        alive_f = state.alive.astype(jnp.float32)
+        B = batch.gt.shape[0]
 
-        def loss_fn(params, offsets):
+        def loss_fn(params, exposure, offsets):
             p = dict(params)
             p["features_rest"] = params["features_rest"] * band[1:][None]
-            p["__alive__"] = state.alive.astype(jnp.float32)
-            losses, (radii, ll1) = jax.vmap(
-                lambda off, view: per_view_loss(p, off, view))(offsets, batch)
-            return losses.mean(), (radii, ll1.mean())
 
-        B = batch.gt.shape[0]
+            def one(off, view):
+                cam = CameraParams(
+                    viewmat=view.viewmat, full_proj=view.full_proj,
+                    cam_center=view.cam_center, tan_fovx=view.tan_fovx,
+                    tan_fovy=view.tan_fovy)
+                exposure_mat = exposure[jnp.minimum(view.cam_idx,
+                                                    exposure.shape[0] - 1)]
+                loss, metrics, new_running = view_losses(
+                    p, alive_f, exposure_mat, cam, view.gt, view.alpha_mask,
+                    view.invdepth, view.depth_mask, view.has_depth, bg,
+                    depth_weight, carry.dwt_running_mean, cfg, off)
+                return loss, (metrics, new_running)
+
+            losses, (metrics, new_running) = jax.vmap(one)(offsets, batch)
+            return losses.mean(), (metrics, new_running.mean())
+
         offsets = jnp.zeros((B, state.capacity, 2))
-        (gp, go), (radii, ll1) = jax.grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(state.params, offsets)
-        gp.pop("__alive__", None)
-        new_params, new_adam = adam_update(state.params, gp, adam, lrs)
-        new_state = state._replace(params=new_params)
-        new_state = add_densification_stats(
-            new_state, go.sum(axis=0), radii.max(axis=0),
-            cfg.width, cfg.height)
-        return new_state, new_adam, {"l1": ll1}
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+        (gp, ge, go), (metrics, new_running) = grad_fn(
+            state.params, state.exposure, offsets)
 
-    gauss_shardings = None  # replicated by default
+        radii = metrics.pop("radii")                         # (B, CAP)
+        visibility = ((radii > 0).any(axis=0) if cfg.sparse_adam else None)
+        new_params, new_adam = adam_update(state.params, gp, adam, lrs,
+                                           visibility=visibility)
+        new_exposure, new_exp_adam = exposure_adam_update(
+            state.exposure, ge, exp_adam, exposure_lr)
+
+        new_state = state._replace(params=new_params, exposure=new_exposure)
+        new_state = add_densification_stats_batch(new_state, go, radii,
+                                                  cfg.width, cfg.height)
+        out_metrics = {k: v.mean() for k, v in metrics.items()
+                       if k != "n_pairs"}
+        out_metrics["n_pairs"] = metrics["n_pairs"].max()
+        return (new_state, new_adam, new_exp_adam,
+                StepCarry(dwt_running_mean=new_running), out_metrics)
+
     return jax.jit(
         step,
-        in_shardings=(None, None, batch_sharding, None, None, None))
+        in_shardings=(None, None, None, None, batch_sharding,
+                      None, None, None, None, None))

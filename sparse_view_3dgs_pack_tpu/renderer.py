@@ -100,10 +100,9 @@ def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
     proj = proj._replace(means2d=proj.means2d + viewspace_offset)
 
     if use_pallas:
-        from .ops.binning import bin_gaussians_aligned
         from .ops.pallas.raster_vjp import make_pallas_rasterizer
         C = proj.colors.shape[-1]
-        ba = bin_gaussians_aligned(
+        ba = bin_gaussians(
             jax.lax.stop_gradient(proj.means2d),
             jax.lax.stop_gradient(proj.depths), proj.radii,
             width, height, config.max_pairs, config.tile)
@@ -123,6 +122,16 @@ def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
             width, height, config.max_pairs, config.tile)
         out = rasterize_binned(proj, binning, width, height,
                                jnp.asarray(bg_color), config)
+        # The XLA path clamps each tile's list to max_per_tile; a clipped
+        # tile silently drops its back-most Gaussians. Surface it through
+        # the existing pair-overflow protocol (report > max_pairs → host
+        # grows the bucket, and max_per_tile scales with it).
+        clipped = jnp.max(binning.tile_counts) > config.max_per_tile
+        binning = binning._replace(total_pairs=jnp.where(
+            clipped,
+            jnp.maximum(binning.total_pairs,
+                        jnp.int32(config.max_pairs + 1)),
+            binning.total_pairs))
 
     image = out.color
     if use_trained_exp:

@@ -200,6 +200,7 @@ class Trainer:
         metrics = out.metrics
 
         # densification events (reference train.py:265-276)
+        densified = False
         if it < o.densify_until_iter:
             if it > o.densify_from_iter and it % o.densification_interval == 0:
                 self._maybe_grow()
@@ -211,13 +212,29 @@ class Trainer:
                     self.scene.cameras_extent, max_screen_size=size_thr,
                     percent_dense=o.percent_dense)
                 self.state, self.adam = res.state, res.opt_state
+                densified = True
+                # no silent caps: appends dropped at capacity must be loud —
+                # grow next interval (reference resizes tensors exactly,
+                # `gaussian_model.py:316-407`)
+                req, app = int(res.requested), int(res.appended)
+                if req > app:
+                    print(f"[densify] WARNING iter {it}: {req - app} of "
+                          f"{req} appends dropped at capacity "
+                          f"{self.state.capacity}; growing next interval")
+                    self._maybe_grow()
             if (it % o.opacity_reset_interval == 0
                     or (self.dataset_args.white_background
                         and it == o.densify_from_iter)):
                 self.state, self.adam = reset_opacity(self.state, self.adam)
 
-        if it % 50 == 0:
+        # pair-bucket overflow drops tail pairs (subtly wrong renders), so
+        # check on the logging cadence AND on the first step AFTER a densify
+        # event — the only moment the pair count can jump. (Not every
+        # iteration: that would force a host sync per step and stall async
+        # dispatch.)
+        if getattr(self, "_check_pairs_next", False) or it % 10 == 0:
             self._maybe_grow_pairs(int(metrics["n_pairs"]))
+        self._check_pairs_next = densified
 
         for cb in self.events.on_iteration:
             cb(it, self, metrics)

@@ -137,6 +137,63 @@ def sh_band_mask(active_degree, max_degree: int):
 _DWT_KEYS = ("ll1", "lh1", "hl1", "hh1", "ll2", "lh2", "hl2", "hh2")
 
 
+def view_losses(p, alive_f, exposure_mat, cam: CameraParams, gt, alpha_mask,
+                mono_invdepth, depth_mask, has_depth, bg_color, depth_weight,
+                dwt_running_mean, cfg: StepConfig, offset):
+    """Full per-view training loss for the 3DGS/LGDWT family.
+
+    `p` must already carry the SH band mask. Returns (loss, metrics,
+    new_running) — shared verbatim between the single-view `train_step` and
+    the multi-chip DP step (`parallel/dp.py`), so DP trains the REAL
+    objective, not a demo subset."""
+    res = render_core(
+        p, alive_f, exposure_mat, cam, cfg.width, cfg.height, bg_color,
+        sh_degree_active=cfg.sh_degree, config=cfg.raster,
+        antialiasing=cfg.antialiasing,
+        use_trained_exp=cfg.train_test_exp,
+        viewspace_offset=offset, use_pallas=cfg.use_pallas)
+    image = res.render * alpha_mask
+
+    ll1 = l1_loss(image, gt)
+    ssim_value = ssim(image, gt)
+    base = (1.0 - cfg.lambda_dssim) * ll1 + cfg.lambda_dssim * (
+        1.0 - ssim_value)
+
+    metrics = {"l1": ll1, "ssim": ssim_value, "n_pairs": res.n_pairs,
+               "radii": res.radii}
+
+    loss = base
+    new_running = dwt_running_mean
+    if cfg.dwt_enable:
+        weights = {k + "_weight": w
+                   for k, w in zip(_DWT_KEYS, cfg.dwt_weights)}
+        dwt_loss, _ = dwt_subband_loss(image, gt, weights)
+        ratio = jax.lax.stop_gradient(base) / (
+            jax.lax.stop_gradient(dwt_loss) + 1e-8)
+        new_running = 0.95 * dwt_running_mean + 0.05 * ratio
+        dwt_scale = jnp.clip(new_running, 0.1, 10.0)
+        loss = loss + jax.lax.stop_gradient(dwt_scale) * dwt_loss
+        metrics["dwt"] = dwt_loss
+        metrics["dwt_scale"] = dwt_scale
+
+    if cfg.patch_dwt_enable:
+        elf = compute_elf_map(gt)
+        patch_loss = compute_patch_dwt_loss(
+            image, gt, elf, patch_size=cfg.patch_size,
+            percentile=cfg.patch_percentile,
+            lh1_weight=cfg.patch_dwt_lh1_weight,
+            hl1_weight=cfg.patch_dwt_hl1_weight)
+        loss = loss + cfg.patch_dwt_weight * patch_loss
+        metrics["patch_dwt"] = patch_loss
+
+    depth_term = depth_l1_loss(res.depth, mono_invdepth, depth_mask)
+    loss = loss + depth_weight * has_depth * depth_term
+    metrics["depth_l1"] = depth_term * has_depth
+
+    metrics["loss"] = loss
+    return loss, metrics, new_running
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def train_step(state: GaussianState, adam: AdamState,
                exp_adam: ExposureAdam, carry: StepCarry, bank: CameraBank,
@@ -160,51 +217,10 @@ def train_step(state: GaussianState, adam: AdamState,
         p["features_rest"] = params["features_rest"] * band_mask[1:][None]
         exposure_mat = exposure[jnp.minimum(cam_idx,
                                             exposure.shape[0] - 1)]
-        res = render_core(
-            p, alive_f, exposure_mat, cam, cfg.width, cfg.height, bg_color,
-            sh_degree_active=cfg.sh_degree, config=cfg.raster,
-            antialiasing=cfg.antialiasing,
-            use_trained_exp=cfg.train_test_exp,
-            viewspace_offset=offset, use_pallas=cfg.use_pallas)
-        image = res.render * alpha_mask
-
-        ll1 = l1_loss(image, gt)
-        ssim_value = ssim(image, gt)
-        base = (1.0 - cfg.lambda_dssim) * ll1 + cfg.lambda_dssim * (
-            1.0 - ssim_value)
-
-        metrics = {"l1": ll1, "ssim": ssim_value, "n_pairs": res.n_pairs,
-                   "radii": res.radii}
-
-        loss = base
-        new_running = carry.dwt_running_mean
-        if cfg.dwt_enable:
-            weights = {k + "_weight": w
-                       for k, w in zip(_DWT_KEYS, cfg.dwt_weights)}
-            dwt_loss, _ = dwt_subband_loss(image, gt, weights)
-            ratio = jax.lax.stop_gradient(base) / (
-                jax.lax.stop_gradient(dwt_loss) + 1e-8)
-            new_running = 0.95 * carry.dwt_running_mean + 0.05 * ratio
-            dwt_scale = jnp.clip(new_running, 0.1, 10.0)
-            loss = loss + jax.lax.stop_gradient(dwt_scale) * dwt_loss
-            metrics["dwt"] = dwt_loss
-            metrics["dwt_scale"] = dwt_scale
-
-        if cfg.patch_dwt_enable:
-            elf = compute_elf_map(gt)
-            patch_loss = compute_patch_dwt_loss(
-                image, gt, elf, patch_size=cfg.patch_size,
-                percentile=cfg.patch_percentile,
-                lh1_weight=cfg.patch_dwt_lh1_weight,
-                hl1_weight=cfg.patch_dwt_hl1_weight)
-            loss = loss + cfg.patch_dwt_weight * patch_loss
-            metrics["patch_dwt"] = patch_loss
-
-        depth_term = depth_l1_loss(res.depth, mono_invdepth, depth_mask)
-        loss = loss + depth_weight * has_depth * depth_term
-        metrics["depth_l1"] = depth_term * has_depth
-
-        metrics["loss"] = loss
+        loss, metrics, new_running = view_losses(
+            p, alive_f, exposure_mat, cam, gt, alpha_mask, mono_invdepth,
+            depth_mask, has_depth, bg_color, depth_weight,
+            carry.dwt_running_mean, cfg, offset)
         return loss, (metrics, new_running)
 
     offset0 = jnp.zeros((cap, 2), jnp.float32)

@@ -9,7 +9,7 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from sparse_view_3dgs_pack_tpu import testing
-from sparse_view_3dgs_pack_tpu.ops.binning import bin_gaussians_aligned
+from sparse_view_3dgs_pack_tpu.ops.binning import bin_gaussians
 from sparse_view_3dgs_pack_tpu.ops.pallas.raster_vjp import \
     make_pallas_rasterizer
 from sparse_view_3dgs_pack_tpu.ops.projection import Projected, project_gaussians
@@ -42,7 +42,7 @@ def _proj(n=250, seed=0, concentrate=False):
 
 
 def _run_pallas(proj, bg, grad=False, max_pairs=1 << 13):
-    ba = bin_gaussians_aligned(proj.means2d, proj.depths, proj.radii, W, H,
+    ba = bin_gaussians(proj.means2d, proj.depths, proj.radii, W, H,
                                max_pairs)
     fn = make_pallas_rasterizer(W, H, proj.colors.shape[-1])
     args = (proj.means2d, proj.depths, proj.conics, proj.colors,
@@ -119,7 +119,7 @@ def test_pallas_gradients_match_oracle():
 def test_pallas_multichunk_carries():
     proj = _proj(n=600, seed=2, concentrate=True)
     bg = jnp.zeros(3)
-    ba = bin_gaussians_aligned(proj.means2d, proj.depths, proj.radii, W, H,
+    ba = bin_gaussians(proj.means2d, proj.depths, proj.radii, W, H,
                                1 << 14)
     assert int(ba.tile_counts.max()) > 256, "scene must exceed one chunk"
     (color, invd, depth, alpha), grads, gw, _ = _run_pallas(

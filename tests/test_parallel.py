@@ -54,3 +54,71 @@ def test_tile_parallel_matches_single_device():
 def test_dp_step_runs_on_mesh():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def _dp_train(n_devices, iters=30, size=32, n_gauss=96):
+    """Run `iters` DP steps of the FULL objective on an n-device mesh over a
+    fixed 8-view batch; returns final params."""
+    from sparse_view_3dgs_pack_tpu.models import gaussians as gm
+    from sparse_view_3dgs_pack_tpu.parallel.dp import (ViewBatch,
+                                                       build_dp_train_step,
+                                                       make_mesh, replicate,
+                                                       shard_batch)
+    from sparse_view_3dgs_pack_tpu.train.optim import (init_adam,
+                                                       init_exposure_adam)
+    from sparse_view_3dgs_pack_tpu.train.step import (CameraBank, StepCarry,
+                                                      StepConfig)
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (n_gauss, 3)).astype(np.float32)
+    cols = rng.random((n_gauss, 3)).astype(np.float32)
+    state = gm.create_from_pcd(pts, cols, n_images=8, sh_degree=1,
+                               capacity=128)
+    cams = testing.make_orbit_cameras(8, radius=3.5, width=size,
+                                      height_px=size)
+    for c in cams:
+        c.image = np.random.default_rng(c.uid).random(
+            (size, size, 3)).astype(np.float32)
+        c.alpha_mask = np.ones((size, size), np.float32)
+    bank = CameraBank.from_cameras(cams)
+
+    mesh = make_mesh(n_devices)
+    cfg = StepConfig(width=size, height=size, sh_degree=1,
+                     raster=RasterConfig(max_pairs=1 << 12, max_per_tile=128,
+                                         tile_batch=4),
+                     dwt_enable=True)
+    step = build_dp_train_step(cfg, mesh)
+    batch = shard_batch(ViewBatch.gather(bank, list(range(8))), mesh)
+    state = replicate(state, mesh)
+    adam = replicate(init_adam(state.params), mesh)
+    exp_adam = replicate(init_exposure_adam(state.exposure), mesh)
+    carry = StepCarry(dwt_running_mean=jnp.ones(()))
+    lrs = {k: jnp.asarray(2e-3) for k in state.params}
+    with mesh:
+        for _ in range(iters):
+            state, adam, exp_adam, carry, metrics = step(
+                state, adam, exp_adam, carry, batch, lrs,
+                jnp.asarray(1e-3), jnp.asarray(0.0),
+                jnp.asarray(1, jnp.int32), jnp.zeros(3))
+    return jax.tree.map(np.asarray, state.params), float(metrics["l1"])
+
+
+def test_dp_training_matches_single_device():
+    """N-device DP must compute the same batch-SGD update as one device.
+
+    One step must agree to float tolerance (catches wrong psum scaling /
+    missing loss terms); 30 steps must reach the same loss level (param-wise
+    equality is not expected — reduction-order rounding feeds Adam's
+    1/sqrt(v) and drifts chaotically on near-zero-gradient params)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    p8_1, _ = _dp_train(8, iters=1)
+    p1_1, _ = _dp_train(1, iters=1)
+    for k in p1_1:
+        np.testing.assert_allclose(
+            p8_1[k], p1_1[k], atol=1e-5, rtol=1e-4,
+            err_msg=f"DP single-step mismatch in {k}")
+    p8, l8 = _dp_train(8, iters=30)
+    p1, l1 = _dp_train(1, iters=30)
+    assert np.isfinite(l8) and np.isfinite(l1)
+    assert abs(l8 - l1) / max(l1, 1e-6) < 0.05, (l8, l1)

@@ -92,14 +92,22 @@ def test_binning_covers_radii():
     total = int(b.total_pairs)
     assert 0 < total < 1 << 14
     assert int(b.tile_counts.sum()) == total
-    # every tile's ids are depth sorted
+    # every tile's ids are sorted by the packed depth key (truncated f32
+    # bits — exact order up to the key's quantization step, ties by id)
     ids = np.asarray(b.ids)
     depths = np.asarray(proj.depths)
+    gx, gy = binning_mod.tile_grid(W, H)
+    _, depth_bits = binning_mod._key_bits(gx * gy)
+    dkey = (np.where(np.isfinite(depths), depths, 0.0)
+            .astype(np.float32).view(np.uint32) >> (32 - depth_bits))
     starts, counts = np.asarray(b.tile_starts), np.asarray(b.tile_counts)
     for t in range(len(starts)):
         seg = ids[starts[t]:starts[t] + counts[t]]
+        k = dkey[seg]
+        assert (np.diff(k.astype(np.int64)) >= 0).all()
+        # and therefore nearly depth-sorted in float terms
         d = depths[seg]
-        assert (np.diff(d) >= -1e-6).all()
+        assert (np.diff(d) >= -np.maximum(d[:-1], 1.0) * 2 ** -9).all()
 
 
 def test_tiled_matches_oracle():
