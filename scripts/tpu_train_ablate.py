@@ -28,7 +28,7 @@ for c in cams:
     c.image = rng.random((H, W, 3)).astype(np.float32)
     c.alpha_mask = np.ones((H, W), np.float32)
 bank = CameraBank.from_cameras(cams)
-raster = RasterConfig(max_pairs=1 << 21, max_per_tile=1024, tile_batch=128)
+raster = RasterConfig(max_pairs=1 << 19, max_per_tile=1024, tile_batch=128)
 
 def run_variant(label, **kw):
     cfg = StepConfig(width=W, height=H, sh_degree=3, raster=raster, **kw)
@@ -63,5 +63,4 @@ run_variant("pallas, photometric only", use_pallas=True)
 run_variant("pallas, +dwt", use_pallas=True, dwt_enable=True)
 run_variant("pallas, +dwt +patch", use_pallas=True, dwt_enable=True,
             patch_dwt_enable=True)
-run_variant("XLA,    photometric only", use_pallas=False)
 log("done")

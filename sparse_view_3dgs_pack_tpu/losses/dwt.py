@@ -37,23 +37,51 @@ def _pad_to_even(x):
     return x
 
 
+@__import__("functools").lru_cache(maxsize=None)
+def _haar_matrix_np(n: int):
+    import numpy as np
+    s = np.float32(1.0 / np.sqrt(2.0))
+    M = np.zeros((n, n), np.float32)
+    i = np.arange(n // 2)
+    M[2 * i, i] = s
+    M[2 * i + 1, i] = s
+    M[2 * i, n // 2 + i] = s
+    M[2 * i + 1, n // 2 + i] = -s
+    return M
+
+
+def _haar_matrix(n: int) -> jnp.ndarray:
+    """(n, n) orthonormal Haar analysis step: columns [0, n/2) produce the
+    low band (pair sums · 1/√2), columns [n/2, n) the high band (pair
+    diffs · 1/√2, even +, odd −)."""
+    return jnp.asarray(_haar_matrix_np(n))
+
+
 def haar_dwt_level(x):
     """One orthonormal Haar analysis level.
 
     x: (..., H, W, C) → (LL, LH, HL, HH) each (..., H/2, W/2, C).
     LH = detail along x (horizontal), HL = detail along y (matching the
     pytorch_wavelets Yh[:,:,0]=LH, [:,:,1]=HL ordering used by the reference).
-    """
+
+    Implemented as two banded MXU matmuls instead of stride-2 slicing:
+    (H, W, 3) images put C on the lane dimension, so sliced adds run at
+    3/128 lane efficiency (~21 ms per image pair at 800p); the matmul form
+    runs in ~1 ms. Coefficients are identical up to f32 rounding
+    ((1/√2)² vs 0.5)."""
     x = _pad_to_even(x)
     H, W = x.shape[-3], x.shape[-2]
-    a = x[..., 0:H:2, 0:W:2, :]
-    b = x[..., 0:H:2, 1:W:2, :]
-    c = x[..., 1:H:2, 0:W:2, :]
-    d = x[..., 1:H:2, 1:W:2, :]
-    ll = (a + b + c + d) * 0.5
-    lh = (a - b + c - d) * 0.5
-    hl = (a + b - c - d) * 0.5
-    hh = (a - b - c + d) * 0.5
+    Mh = _haar_matrix(H)
+    Mw = _haar_matrix(W)
+    y = jnp.einsum("...hwc,hk->...kwc", x, Mh,
+                   precision=jax.lax.Precision.HIGHEST)
+    z = jnp.einsum("...kwc,wm->...kmc", y, Mw,
+                   precision=jax.lax.Precision.HIGHEST)
+    H2, W2 = H // 2, W // 2
+    ll = z[..., :H2, :W2, :]
+    lh = z[..., :H2, W2:, :]
+    hl = z[..., H2:, :W2, :]
+    hh = z[..., H2:, W2:, :]
     return ll, lh, hl, hh
 
 

@@ -108,10 +108,11 @@ def test_haar_matches_pywt_convention():
     x = np.arange(16, dtype=np.float32).reshape(4, 4)
     ll, lh, hl, hh = haar_dwt_level(jnp.asarray(x)[..., None])
     # block (0,0): a=0 b=1 c=4 d=5 → LL=(0+1+4+5)/2=5
-    assert float(ll[0, 0, 0]) == pytest.approx(5.0)
-    assert float(lh[0, 0, 0]) == pytest.approx((0 - 1 + 4 - 5) / 2)
-    assert float(hl[0, 0, 0]) == pytest.approx((0 + 1 - 4 - 5) / 2)
-    assert float(hh[0, 0, 0]) == pytest.approx((0 - 1 - 4 + 5) / 2)
+    # matmul-form Haar: (1/sqrt2)^2 rounds to 0.5 only to f32 precision
+    assert float(ll[0, 0, 0]) == pytest.approx(5.0, abs=1e-5)
+    assert float(lh[0, 0, 0]) == pytest.approx((0 - 1 + 4 - 5) / 2, abs=1e-5)
+    assert float(hl[0, 0, 0]) == pytest.approx((0 + 1 - 4 - 5) / 2, abs=1e-5)
+    assert float(hh[0, 0, 0]) == pytest.approx((0 - 1 - 4 + 5) / 2, abs=1e-5)
 
 
 def test_dwt_subbands_shapes_odd():
