@@ -57,7 +57,7 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
         "sh": jnp.asarray(cloud["features"]),
     }
 
-    raster_fn = make_pallas_rasterizer(width, height, 3)
+    raster_fn = make_pallas_rasterizer(width, height, 3, inference=True)
 
     def render_frame(p, viewmat, full_proj, cam_center, tanx, tany):
         proj = project_gaussians(

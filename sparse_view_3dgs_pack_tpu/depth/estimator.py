@@ -24,6 +24,7 @@ import numpy as np
 
 class DepthEstimator:
     available = False
+    can_estimate = False   # can score arbitrary (novel) rendered images
 
     def depth_for_camera(self, cam):
         """(H, W) float mono depth for a training camera, or None."""
@@ -39,7 +40,8 @@ class NoDepth(DepthEstimator):
 
 
 class PrecomputedDepth(DepthEstimator):
-    available = True  # per-camera priors only; estimate() unavailable
+    available = True      # per-camera priors only
+    can_estimate = False  # cannot score novel renders from disk
 
     def __init__(self, depth_dir: str):
         self.depth_dir = depth_dir
@@ -77,6 +79,7 @@ class MidasDepth(DepthEstimator):
         for p in self.midas.parameters():
             p.requires_grad = False
         self.available = True
+        self.can_estimate = True
 
     def estimate(self, image_hwc):
         torch = self._torch

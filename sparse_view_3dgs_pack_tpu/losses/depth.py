@@ -30,6 +30,26 @@ def pearson_corrcoef(x, y, eps: float = 1e-8):
     return (xm * ym).sum() / jnp.maximum(denom, eps)
 
 
+def pearson_corrcoef_masked(x, y, mask, eps: float = 1e-8):
+    """Pearson over masked pixels only (used with warped pseudo priors,
+    whose coverage is partial)."""
+    w = mask.reshape(-1).astype(x.dtype)
+    x = x.reshape(-1)
+    y = y.reshape(-1)
+    n = jnp.maximum(w.sum(), 1.0)
+    xm = (x - (x * w).sum() / n) * w
+    ym = (y - (y * w).sum() / n) * w
+    denom = jnp.sqrt((xm * xm).sum()) * jnp.sqrt((ym * ym).sum())
+    return (xm * ym).sum() / jnp.maximum(denom, eps)
+
+
+def warped_pseudo_depth_loss(rendered_depth, warped_depth, valid):
+    """Pseudo-view distillation against a WARPED metric prior (offline
+    substitute for MiDaS-on-render; positive correlation since both are
+    depths, unlike `pseudo_depth_loss`'s disparity input)."""
+    return 1.0 - pearson_corrcoef_masked(rendered_depth, warped_depth, valid)
+
+
 def fsgs_depth_loss(rendered_depth, midas_depth):
     """min(1 - ρ(-midas, rendered), 1 - ρ(1/(midas+200), rendered))."""
     a = 1.0 - pearson_corrcoef(-midas_depth, rendered_depth)

@@ -29,15 +29,26 @@ def _expand_bits(v):
     return v
 
 
-def morton_codes(points):
-    """(N, 3) float → 30-bit Morton codes over the point bbox."""
-    lo = points.min(axis=0)
-    hi = points.max(axis=0)
+def morton_codes(points, valid=None):
+    """(N, 3) float → 30-bit Morton codes over the (valid-)point bbox.
+
+    Invalid points get the all-ones code, sorting them past every valid
+    point (out of all windows but each other's)."""
+    if valid is None:
+        lo = points.min(axis=0)
+        hi = points.max(axis=0)
+    else:
+        v = valid[:, None]
+        lo = jnp.where(v, points, jnp.inf).min(axis=0)
+        hi = jnp.where(v, points, -jnp.inf).max(axis=0)
     scale = 1023.0 / jnp.maximum(hi - lo, 1e-9)
     q = jnp.clip((points - lo) * scale, 0, 1023).astype(jnp.uint32)
-    return (_expand_bits(q[:, 0])
-            | (_expand_bits(q[:, 1]) << 1)
-            | (_expand_bits(q[:, 2]) << 2))
+    codes = (_expand_bits(q[:, 0])
+             | (_expand_bits(q[:, 1]) << 1)
+             | (_expand_bits(q[:, 2]) << 2))
+    if valid is not None:
+        codes = jnp.where(valid, codes, jnp.uint32(0xFFFFFFFF))
+    return codes
 
 
 # Fixed orthonormal rotations (QR of a seeded normal): each pass Morton-sorts
@@ -54,7 +65,7 @@ _ROTATIONS = (
 )
 
 
-def _pass_candidates(points, window, rotation):
+def _pass_candidates(points, window, rotation, valid=None):
     """One Morton ordering (of the rotated cloud) → (candidate_d2 (N, 2w),
     candidate_idx (N, 2w)) in ORIGINAL point order; d2 in original space."""
     N = points.shape[0]
@@ -62,7 +73,7 @@ def _pass_candidates(points, window, rotation):
         key_pts = points
     else:
         key_pts = points @ jnp.asarray(rotation, points.dtype).T
-    codes = morton_codes(key_pts)
+    codes = morton_codes(key_pts, valid)
     _, order = jax.lax.sort((codes, jnp.arange(N, dtype=jnp.int32)),
                             num_keys=1)
     sorted_pts = points[order]
@@ -76,6 +87,9 @@ def _pass_candidates(points, window, rotation):
     diff = sorted_pts[:, None, :] - sorted_pts[cand_c]  # (N, 2w, 3)
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(in_range, d2, jnp.inf)
+    if valid is not None:
+        # exclude invalid candidates (padded/dead capacity slots)
+        d2 = jnp.where(valid[order][cand_c], d2, jnp.inf)
     cand_orig = order[cand_c]
     # scatter back to original order
     d2_o = jnp.zeros_like(d2).at[order].set(d2)
@@ -84,16 +98,18 @@ def _pass_candidates(points, window, rotation):
 
 
 @partial(jax.jit, static_argnames=("window", "k", "passes"))
-def knn3(points: jnp.ndarray, window: int = 32, k: int = 3, passes: int = 3):
+def knn3(points: jnp.ndarray, window: int = 32, k: int = 3, passes: int = 3,
+         valid=None):
     """→ (mean of k smallest squared distances (N,), indices (N, k) int32).
 
     Multi-pass windowed Morton search: each pass sorts the cloud along a
     differently-rotated Morton curve and contributes ±window candidates;
-    the k-NN are selected over the de-duplicated union.
+    the k-NN are selected over the de-duplicated union. `valid` (N,) bool
+    restricts both the bbox and the neighbour set (dead capacity slots).
     """
     d2s, idxs = [], []
     for rotation in _ROTATIONS[:passes]:
-        d2, idx = _pass_candidates(points, window, rotation)
+        d2, idx = _pass_candidates(points, window, rotation, valid)
         d2s.append(d2)
         idxs.append(idx)
     d2 = jnp.concatenate(d2s, axis=1)

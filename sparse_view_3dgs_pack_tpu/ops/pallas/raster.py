@@ -53,17 +53,24 @@ def pack_pair_data(proj, ids) -> jnp.ndarray:
                        proj.opacities, ids)
 
 
+def n_chunk_blocks(n_pairs_buf: int) -> int:
+    """Chunk blocks covering the pair buffer + one slack chunk."""
+    return (n_pairs_buf + CHUNK - 1) // CHUNK + 1
+
+
 def pack_fields(means2d, depths, conics, colors, opacities,
                 ids) -> jnp.ndarray:
-    """Gather per-pair Gaussian data → (16, n_pairs_buf) f32.
+    """Gather per-pair Gaussian data → (NC, 16, CHUNK) f32, chunk-major.
 
     Rows: 0 mx, 1 my, 2 conic a, 3 conic b, 4 conic c, 5 opacity,
           6..6+C-1 colors, 6+C invdepth, 7+C depth, rest zero.
 
-    Performance note: assembled as a (P, 16) row matrix and gathered with ONE
-    row gather — on TPU a row gather of 16-float rows is ~8× faster than 13
-    per-column element gathers (random gathers cost per *gather op element*,
-    rows amortise it).
+    Performance notes: assembled as a (P, 16) row matrix and gathered with
+    ONE row gather — on TPU a row gather of 16-float rows is ~8× faster than
+    13 per-column element gathers. The result is laid out CHUNK-MAJOR
+    (NC, 16, CHUNK) so every kernel chunk is ONE contiguous 8 KB DMA; the
+    previous (16, NBUF) layout made each chunk 16 strided 512 B segments
+    (row stride = 4·NBUF), which dominated the kernel at ~0.9 µs/chunk.
     """
     C = colors.shape[-1]
     assert C <= 8, "payload supports up to 8 color channels"
@@ -80,19 +87,20 @@ def pack_fields(means2d, depths, conics, colors, opacities,
     rows = jnp.stack(cols, axis=1)                     # (P, 16)
     # sentinel row (id -1 → opacity 0): append one zero row at index P
     rows = jnp.concatenate([rows, jnp.zeros((1, DROWS), rows.dtype)], axis=0)
+    nc = n_chunk_blocks(ids.shape[0])
+    pad = nc * CHUNK - ids.shape[0]
     ids_c = jnp.where(ids >= 0, ids, rows.shape[0] - 1)
-    data = rows[ids_c]                                 # (NBUF, 16) row gather
+    ids_c = jnp.concatenate(
+        [ids_c, jnp.full((pad,), rows.shape[0] - 1, ids_c.dtype)])
+    data = rows[ids_c]                                 # (NC*CHUNK, 16) gather
     # The barrier stops XLA fusing the transpose INTO the gather (a fused
     # transposing gather degrades to per-element access, ~8× slower).
     data = jax.lax.optimization_barrier(data)
-    data = data.T                                      # (16, NBUF)
-    # slack columns so the last aligned tile range can DMA a full CHUNK
-    return jnp.concatenate(
-        [data, jnp.zeros((DROWS, CHUNK), data.dtype)], axis=1)
+    return data.reshape(nc, CHUNK, DROWS).transpose(0, 2, 1)
 
 
 def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
-                mm_precision,
+                mm_precision, compute_n_contrib,
                 # scalar prefetch
                 starts_ref, counts_ref,
                 # inputs
@@ -114,48 +122,47 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
 
     # tile-local pixel coordinates come in as a precomputed constant (host
     # iota+mod on (256,1) sublane vectors has shown Mosaic lowering issues)
-    tx = ((t % grid_x) * TILE).astype(jnp.float32)
-    ty = ((t // grid_x) * TILE).astype(jnp.float32)
-    px = pix_ref[:, 0:1] + tx                          # (256, 1)
-    py = pix_ref[:, 1:2] + ty
+    txf = ((t % grid_x) * TILE).astype(jnp.float32)
+    tyf = ((t // grid_x) * TILE).astype(jnp.float32)
+    px = pix_ref[:, 0:1]                               # (256, 1) tile-local
+    py = pix_ref[:, 1:2]
+
+    blk0 = start // CHUNK   # first chunk block (chunk-major pair layout)
 
     def dma(slot, k):
-        off = pl.multiple_of(base + k * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            pairs_hbm.at[:, pl.ds(off, CHUNK)],
-            buf.at[slot], sems.at[slot])
+            pairs_hbm.at[blk0 + k], buf.at[slot], sems.at[slot])
 
     # chunk 0 lives in a dedicated per-tile-parity slot: tile t's chunk 0 was
     # prefetched by grid step t-1 (t=0 issues its own), and we prefetch tile
-    # t+1's chunk 0 now — its slot (2 + (t+1)%2) is idle for all of step t.
-    PREFETCH = 2   # 0: none, 1: own chunk0 into parity slot, 2: cross-step
-    slot0 = 2 + (t % 2) if PREFETCH else jnp.int32(0)
+    # t+1's chunk 0 now — its slot (4 + (t+1)%2) is idle for all of step t.
+    # Interior chunks rotate through 4 slots at prefetch distance 3: one
+    # chunk of compute (~0.35 µs) is far below HBM DMA latency (~1 µs), so
+    # double-buffering alone stalls ~0.6 µs per chunk.
+    slot0 = 4 + (t % 2)
 
-    if PREFETCH == 2:
-        @pl.when((t == 0) & (count > 0))
-        def _():
-            dma(slot0, 0).start()
+    @pl.when((t == 0) & (count > 0))
+    def _():
+        dma(slot0, 0).start()
 
-        @pl.when(t + 1 < num_tiles)
-        def _():
-            ncount = counts_ref[t + 1]
+    @pl.when(t + 1 < num_tiles)
+    def _():
+        ncount = counts_ref[t + 1]
 
-            @pl.when(ncount > 0)
-            def _():
-                nbase = (starts_ref[t + 1] // CHUNK) * CHUNK
-                nslot = 2 + ((t + 1) % 2)
-                pltpu.make_async_copy(
-                    pairs_hbm.at[:, pl.ds(pl.multiple_of(nbase, CHUNK),
-                                          CHUNK)],
-                    buf.at[nslot], sems.at[nslot]).start()
-    elif PREFETCH == 1:
-        @pl.when(count > 0)
+        @pl.when(ncount > 0)
         def _():
-            dma(slot0, 0).start()
-    else:
-        @pl.when(n_chunks > 0)
-        def _():
-            dma(0, 0).start()
+            nslot = 4 + ((t + 1) % 2)
+            pltpu.make_async_copy(
+                pairs_hbm.at[starts_ref[t + 1] // CHUNK],
+                buf.at[nslot], sems.at[nslot]).start()
+
+    @pl.when(n_chunks > 1)
+    def _():
+        dma(1, 1).start()
+
+    @pl.when(n_chunks > 2)
+    def _():
+        dma(2, 2).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     # cumsum along the chunk axis as an MXU matmul with an upper-triangular
@@ -165,22 +172,27 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
     triu_ones = (row_i <= col_i).astype(jnp.float32)
 
     def body(state):
-        k, log_t, done, accum, n_contrib = state
-        slot = jnp.where(k == 0, slot0, k % 2)
+        k, log_t, done, accum, n_contrib, stop = state
+        slot = jnp.where(k == 0, slot0, k % 4)
 
-        @pl.when(k + 1 < n_chunks)
+        @pl.when((k + 3 < n_chunks) & (k + 3 > 2))
         def _():
-            dma((k + 1) % 2, k + 1).start()
+            dma((k + 3) % 4, k + 3).start()
 
         dma(slot, k).wait()
         d = buf[slot]                                   # (16, CHUNK)
-        mx = d[0:1, :]
-        my = d[1:2, :]
+        mx = d[0:1, :] - txf                            # tile-local means
+        my = d[1:2, :] - tyf
         ca = d[2:3, :]
         cb = d[3:4, :]
         cc = d[4:5, :]
         op = d[5:6, :]
 
+        # The quadratic form stays ELEMENTWISE: an Fpix @ Wq MXU form needs
+        # HIGHEST precision (the expanded a·mx² constant suffers bf16
+        # catastrophic cancellation for small gaussians — 26 dB of image
+        # error at DEFAULT) and at 6-pass HIGHEST it is slower than these 9
+        # VPU ops. The backward uses the matmul form (it needs Fpix anyway).
         dx = px - mx                                    # (256, CHUNK)
         dy = py - my
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -213,30 +225,42 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
             w, payload, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mm_precision)                      # (256, 8)
-        n_contrib = n_contrib + jnp.sum(
-            contribute.astype(jnp.float32), axis=1, keepdims=True)
+        if compute_n_contrib:   # only the backward replay needs it
+            n_contrib = n_contrib + jnp.sum(
+                contribute.astype(jnp.float32), axis=1, keepdims=True)
         log_t = log_t + jnp.sum(jnp.where(contribute, log1m, 0.0),
                                 axis=1, keepdims=True)
-        return k + 1, log_t, done, accum, n_contrib
+        if early_exit:
+            # the all-pixels-done reduction is a vector→scalar sync
+            # (~150 ns); amortise it over 4 chunks
+            stop = jax.lax.cond(
+                (k & 3) == 3,
+                lambda d: (jnp.min(d) >= 0.5).astype(jnp.int32),
+                lambda d: stop, done)
+        return k + 1, log_t, done, accum, n_contrib, stop
 
     def cond(state):
-        k, _, done, _, _ = state
+        k, _, _, _, _, stop = state
         if early_exit:
-            return (k < n_chunks) & (jnp.min(done) < 0.5)
+            return (k < n_chunks) & (stop == 0)
         return k < n_chunks
 
     init = (jnp.asarray(0, jnp.int32),
             jnp.zeros((PIX, 1), jnp.float32),
             jnp.zeros((PIX, 1), jnp.float32),
             jnp.zeros((PIX, 8), jnp.float32),
-            jnp.zeros((PIX, 1), jnp.float32))
-    k, log_t, done, accum, n_contrib = jax.lax.while_loop(cond, body, init)
+            jnp.zeros((PIX, 1), jnp.float32),
+            jnp.asarray(0, jnp.int32))
+    k, log_t, done, accum, n_contrib, _ = jax.lax.while_loop(cond, body,
+                                                             init)
 
-    # Early exit leaves the prefetched next-chunk DMA in flight; drain it so
-    # the next grid step's scratch/semaphore state is clean.
-    @pl.when(k < n_chunks)
-    def _():
-        dma(k % 2, k).wait()
+    # Early exit leaves up to 3 prefetched chunk DMAs in flight; drain them
+    # so the next grid step's scratch/semaphore state is clean. (Early exit
+    # implies k >= 1, so these are interior slots.)
+    for j in range(3):
+        @pl.when(k + j < n_chunks)
+        def _(j=j):
+            dma((k + j) % 4, k + j).wait()
 
     # background composite on the color channels
     t_final = jnp.exp(log_t)                            # (256, 1)
@@ -249,15 +273,18 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "max_pairs",
                                              "n_payload", "max_chunks",
-                                             "early_exit", "mm_precision"))
+                                             "early_exit", "mm_precision",
+                                             "compute_n_contrib"))
 def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
                              background, width: int, height: int,
                              max_pairs: int, n_payload: int,
                              max_chunks: int = 1 << 22,
                              early_exit: bool = True,
-                             mm_precision=jax.lax.Precision.HIGHEST):
-    """pair_data: (16, max_pairs); returns (num_tiles, 256, 16) with
-    columns [blend(8) incl bg-composited colors, log_t, n_contrib, 0...]."""
+                             mm_precision=jax.lax.Precision.HIGHEST,
+                             compute_n_contrib: bool = True):
+    """pair_data: (NC, 16, CHUNK) chunk-major (see pack_fields); returns
+    (num_tiles, 256, 16) with columns [blend(8) incl bg-composited colors,
+    log_t, n_contrib, 0...]."""
     grid_x, grid_y = tile_grid(width, height, TILE)
     num_tiles = grid_x * grid_y
 
@@ -265,7 +292,8 @@ def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
     bg = bg.at[0, :background.shape[0]].set(background)
 
     kernel = functools.partial(_fwd_kernel, num_tiles, grid_x, max_chunks,
-                               n_payload, early_exit, mm_precision)
+                               n_payload, early_exit, mm_precision,
+                               compute_n_contrib)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -277,9 +305,10 @@ def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
         out_specs=pl.BlockSpec((1, PIX, 16), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            # slots 0/1: interior double-buffer; 2/3: chunk-0 per tile parity
-            pltpu.VMEM((4, DROWS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            # slots 0-3: interior rotation (distance-3 prefetch);
+            # 4/5: chunk-0 per tile parity
+            pltpu.VMEM((6, DROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
     )
     out = pl.pallas_call(

@@ -66,13 +66,13 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks,
         count > 0,
         jnp.minimum((head + count + CHUNK - 1) // CHUNK, max_chunks), 0)
 
+    blk0 = start // CHUNK   # first chunk block (chunk-major pair layout)
+
     # RMW prefetch: the first (shared) chunk's existing gradients, written by
     # previous grid steps (their out-DMAs are drained per step → no race)
     @pl.when((head > 0) & (count > 0))
     def _():
-        pltpu.make_async_copy(
-            grads_hbm.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
-            rbuf, rsem).start()
+        pltpu.make_async_copy(grads_hbm.at[blk0], rbuf, rsem).start()
 
     # tile-LOCAL pixel coordinates (precomputed input): keeps the moment
     # expansion Σq·dx² = R0 − 2m·R3 + m²·R5 well conditioned (global coords
@@ -105,9 +105,8 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks,
     tril_excl = (row_i > col_i).astype(jnp.float32)    # reverse-cumsum excl
 
     def dma_in(slot, k):
-        off = pl.multiple_of(base + k * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            pairs_hbm.at[:, pl.ds(off, CHUNK)], buf.at[slot], sems.at[slot])
+            pairs_hbm.at[blk0 + k], buf.at[slot], sems.at[slot])
 
     first = n_chunks - 1  # reverse order
     # the first-processed chunk (the tile's LAST chunk) was prefetched by the
@@ -126,13 +125,13 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks,
         @pl.when(ncount > 0)
         def _():
             nstart = starts_ref[t + 1]
-            nbase = (nstart // CHUNK) * CHUNK
+            nblk0 = nstart // CHUNK
             nchunks = jnp.minimum(
-                (nstart - nbase + ncount + CHUNK - 1) // CHUNK, max_chunks)
-            noff = pl.multiple_of(nbase + (nchunks - 1) * CHUNK, CHUNK)
+                (nstart - nblk0 * CHUNK + ncount + CHUNK - 1) // CHUNK,
+                max_chunks)
             nslot = 2 + ((t + 1) % 2)
             pltpu.make_async_copy(
-                pairs_hbm.at[:, pl.ds(noff, CHUNK)],
+                pairs_hbm.at[nblk0 + nchunks - 1],
                 buf.at[nslot], sems.at[nslot]).start()
 
     def body(state):
@@ -155,9 +154,19 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks,
         op = d[5:6, :]
         payload = d[6:14, :]             # (8, CHUNK)
 
-        dx = px - mx                     # (256, CHUNK)
-        dy = py - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        # quadratic form via MXU (see fwd kernel — VPU-issue-bound otherwise)
+        Wq = jnp.concatenate([
+            -0.5 * ca,
+            -0.5 * cc,
+            -cb,
+            ca * mx + cb * my,
+            cc * my + cb * mx,
+            -(0.5 * ca * mx * mx + 0.5 * cc * my * my + cb * mx * my),
+        ], axis=0)                       # (6, CHUNK)
+        power = jax.lax.dot_general(
+            Fpix, Wq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (256, CHUNK)
         G = jnp.exp(jnp.minimum(power, 0.0))
         alpha_raw = op * G
         clamped = alpha_raw > ALPHA_MAX
@@ -217,9 +226,8 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks,
             precision=jax.lax.Precision.HIGHEST)
 
         def out_dma(s, chunk_idx):
-            o = pl.multiple_of(base + chunk_idx * CHUNK, CHUNK)
             return pltpu.make_async_copy(
-                gbuf.at[s], grads_hbm.at[:, pl.ds(o, CHUNK)], osem.at[s])
+                gbuf.at[s], grads_hbm.at[blk0 + chunk_idx], osem.at[s])
 
         # double-buffered write-out: drain the copy issued 2 chunks ago
         # (chunk k+2, same slot) before overwriting the buffer
@@ -241,9 +249,7 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks,
         # are zero in our mask, so a plain add merges exactly)
         @pl.when((k == 0) & (head > 0))
         def _():
-            pltpu.make_async_copy(
-                grads_hbm.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
-                rbuf, rsem).wait()
+            pltpu.make_async_copy(grads_hbm.at[blk0], rbuf, rsem).wait()
             gbuf[oslot] = gbuf[oslot] + rbuf[:, :]
 
         out_dma(oslot, k).start()
@@ -267,9 +273,8 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks,
         @pl.when(i >= j)
         def _():
             chunk_idx = first - (i - j)
-            o = pl.multiple_of(base + chunk_idx * CHUNK, CHUNK)
             pltpu.make_async_copy(gbuf.at[(i - j) % 2],
-                                  grads_hbm.at[:, pl.ds(o, CHUNK)],
+                                  grads_hbm.at[blk0 + chunk_idx],
                                   osem.at[(i - j) % 2]).wait()
 
     drain_out(1)
@@ -281,12 +286,13 @@ def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
                               g_payload, aux, g_bg_rows,
                               width: int, height: int,
                               max_chunks: int = 1 << 22):
-    """→ per-pair grads (16, n_pairs_buf): rows [mx, my, a, b, c, opacity,
-    payload(8), 0, 0].
+    """→ per-pair grads (NC, 16, CHUNK) chunk-major: rows [mx, my, a, b, c,
+    opacity, payload(8), 0, 0].
 
+    pair_data: (NC, 16, CHUNK) from pack_fields.
     g_payload: (num_tiles, 256, 8) cotangents of the blend channels.
     aux: (num_tiles, 256, 3) = [log_T_final, n_contrib, g_alpha].
-    g_bg_rows: (8, 8) with bg broadcast? — pass (1, 8) bg row."""
+    g_bg_rows: (1, 8) bg row."""
     grid_x, grid_y = tile_grid(width, height, TILE)
     num_tiles = grid_x * grid_y
 
@@ -317,7 +323,7 @@ def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((GROWS, pair_data.shape[1]),
+        out_shape=jax.ShapeDtypeStruct((pair_data.shape[0], GROWS, CHUNK),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),

@@ -34,18 +34,37 @@ def _tile_pack(img, width, height, channels):
 
 
 @functools.lru_cache(maxsize=None)
-def make_pallas_rasterizer(width: int, height: int, channels: int):
+def make_pallas_rasterizer(width: int, height: int, channels: int,
+                           inference: bool = False):
+    """Differentiable rasterizer closure for one image size.
+
+    inference=True returns a NON-differentiable variant that skips the
+    n_contrib bookkeeping (only the backward replay needs it) and runs the
+    transmittance-cumsum / blend matmuls at DEFAULT (single-pass bf16)
+    precision — their inputs (log1p(-α) ∈ [-7, 0], colors ∈ [0, 1]) are
+    insensitive, unlike the quadratic form, which stays exact elementwise
+    in both variants."""
     C = channels
 
     def fwd_impl(means2d, depths, conics, colors, opacities, ids, starts,
                  counts, bg):
         pd = pack_fields(means2d, depths, conics, colors, opacities, ids)
-        raw = rasterize_forward_pallas(pd, starts, counts, bg, width, height,
-                                       ids.shape[0], C + 2)
+        raw = rasterize_forward_pallas(
+            pd, starts, counts, bg, width, height, ids.shape[0], C + 2,
+            mm_precision=(jax.lax.Precision.DEFAULT if inference
+                          else jax.lax.Precision.HIGHEST),
+            compute_n_contrib=not inference)
         u = unpack_tiles(raw, width, height, C)
         outs = (u["color"], u["invdepth"], u["depth"],
                 1.0 - jnp.exp(u["log_t"]))
         return outs, raw, pd
+
+    if inference:
+        def rasterize_inf(means2d, depths, conics, colors, opacities, ids,
+                          starts, counts, bg):
+            return fwd_impl(means2d, depths, conics, colors, opacities, ids,
+                            starts, counts, bg)[0]
+        return rasterize_inf
 
     @jax.custom_vjp
     def rasterize(means2d, depths, conics, colors, opacities, ids, starts,
@@ -86,12 +105,14 @@ def make_pallas_rasterizer(width: int, height: int, channels: int):
         # kernel (uninitialized HBM) — and with unaligned binning the id
         # array's tail padding carries REAL gaussian ids, so position is the
         # only safe mask
-        slot = jnp.arange(ids.shape[0], dtype=jnp.int32)
+        nbuf = ids.shape[0]
+        slot = jnp.arange(nbuf, dtype=jnp.int32)
         valid = (slot < jnp.max(starts + counts)) & (ids >= 0)
         seg_ids = jnp.where(valid, ids, P)  # dropped bucket
-        d_pairs = d_pairs[:, :ids.shape[0]]  # drop the DMA slack columns
-        contrib = jnp.where(valid[None, :], d_pairs[:14], 0.0)  # (14, NBUF)
-        per_gauss = jax.ops.segment_sum(contrib.T, seg_ids,
+        # (NC, 16, CHUNK) chunk-major → (NBUF, 14) pair-major
+        d_rows = d_pairs.transpose(0, 2, 1).reshape(-1, d_pairs.shape[1])
+        contrib = jnp.where(valid[:, None], d_rows[:nbuf, :14], 0.0)
+        per_gauss = jax.ops.segment_sum(contrib, seg_ids,
                                         num_segments=P + 1)[:P]  # (P, 14)
 
         d_means2d = per_gauss[:, 0:2]

@@ -47,7 +47,8 @@ def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
                 opacity_override=None,
                 viewspace_offset=None,
                 clamp: bool = True,
-                use_pallas: bool = False) -> RenderResult:
+                use_pallas: bool = False,
+                inference: bool = False) -> RenderResult:
     """Differentiable core — fully traceable; all array args may be traced.
 
     `confidence`: per-Gaussian gradient scale (FSGS N2 semantics) applied via
@@ -106,7 +107,8 @@ def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
             jax.lax.stop_gradient(proj.means2d),
             jax.lax.stop_gradient(proj.depths), proj.radii,
             width, height, config.max_pairs, config.tile)
-        raster_fn = make_pallas_rasterizer(width, height, C)
+        raster_fn = make_pallas_rasterizer(width, height, C,
+                                           inference=inference)
         color, invdepth, depth, alpha = raster_fn(
             proj.means2d, proj.depths, proj.conics, proj.colors,
             proj.opacities, ba.ids, ba.tile_starts, ba.tile_counts,
@@ -181,10 +183,11 @@ def render(state: gm.GaussianState, camera, bg_color,
 def _render_jit(params, alive, exposure_mat, cam, width, height, bg_color,
                 sh_degree_active, config, scaling_modifier, antialiasing,
                 use_trained_exp, override_color, use_pallas=False):
+    # host-level render() is eval/viewer-only → inference kernel variant
     return render_core(params, alive, exposure_mat, cam, width, height,
                        bg_color, sh_degree_active, config, scaling_modifier,
                        antialiasing, use_trained_exp, override_color,
-                       use_pallas=use_pallas)
+                       use_pallas=use_pallas, inference=True)
 
 
 def default_raster_config(capacity: int, width: int, height: int,

@@ -34,9 +34,18 @@ from ..scene import Scene
 from ..utils.general import get_expon_lr_func
 from ..utils.pose_utils import (generate_random_poses_360,
                                 generate_random_poses_llff)
-from .densify import add_densification_stats, densify_and_prune, reset_opacity
+from .densify import (add_densification_stats, densify_and_prune,
+                      proximity_densify, reset_opacity)
 from .optim import init_adam, make_lr_schedules, adam_update
 from .step import CameraBank, sh_band_mask
+
+
+def _pad_like(a, target):
+    """Zero-pad an Adam moment to a freshly-grown capacity."""
+    if a.shape == target.shape:
+        return a
+    pads = [(0, target.shape[0] - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pads)
 
 
 class FSGSConfig(NamedTuple):
@@ -46,11 +55,16 @@ class FSGSConfig(NamedTuple):
     raster: RasterConfig
     lambda_dssim: float = 0.2
     use_pallas: bool = False
+    use_confidence: bool = False
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def fsgs_step(state, adam, bank: CameraBank, cam_idx, lrs, depth_weight,
-              active_degree, bg, cfg: FSGSConfig):
+              active_degree, bg, cfg: FSGSConfig, confidence=None):
+    """confidence: (CAP,) per-Gaussian gradient scale (reference keeps an
+    all-ones tensor carried through densification, gated by
+    `pipe.use_confidence` — `FSGS/gaussian_renderer/__init__.py:42`,
+    `dgr_fsgs/__init__.py:146-158`)."""
     cam = bank.camera(cam_idx)
     gt = bank.gt[cam_idx]
     alpha_mask = bank.alpha_mask[cam_idx]
@@ -66,6 +80,8 @@ def fsgs_step(state, adam, bank: CameraBank, cam_idx, lrs, depth_weight,
         res = render_core(p, alive_f, jnp.eye(3, 4), cam, cfg.width,
                           cfg.height, bg, sh_degree_active=cfg.sh_degree,
                           config=cfg.raster, viewspace_offset=offset,
+                          confidence=(confidence if cfg.use_confidence
+                                      else None),
                           use_pallas=cfg.use_pallas)
         image = res.render * alpha_mask
         ll1 = l1_loss_mask(image, gt)
@@ -101,6 +117,48 @@ def fsgs_render_pseudo(state, cam: CameraParams, active_degree, bg,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def fsgs_warped_pseudo_step(state, adam, src_cam: CameraParams, src_prior,
+                            dst_cam: CameraParams, lrs, weight,
+                            active_degree, bg, cfg: FSGSConfig):
+    """Offline pseudo-view distillation: align the nearest train view's
+    precomputed prior to metric scale against its own rendered depth, warp
+    it into the pseudo camera, and apply a masked Pearson loss there (the
+    substitute for reference MiDaS-on-render, `FSGS/train.py:116-131`)."""
+    from ..depth.warp import metric_depth_from_prior, warp_depth
+    from ..losses.depth import warped_pseudo_depth_loss
+
+    band = sh_band_mask(active_degree, cfg.sh_degree)
+    alive_f = state.alive.astype(jnp.float32)
+
+    def render_view(params, cam):
+        p = dict(params)
+        p["features_rest"] = params["features_rest"] * band[1:][None]
+        return render_core(p, alive_f, jnp.eye(3, 4), cam, cfg.width,
+                           cfg.height, bg, sh_degree_active=cfg.sh_degree,
+                           config=cfg.raster, use_pallas=cfg.use_pallas)
+
+    # warp target is built OUTSIDE the grad (a fixed distillation target)
+    src = render_view(state.params, src_cam)
+    z_src, src_valid = metric_depth_from_prior(src_prior, src.depth,
+                                               src.alpha)
+    warped, valid = warp_depth(z_src, src_valid, src_cam, dst_cam,
+                               cfg.width, cfg.height)
+    coverage = valid.mean()
+
+    def loss_fn(params):
+        res = render_view(params, dst_cam)
+        return warped_pseudo_depth_loss(res.expected_depth, warped, valid)
+
+    loss, gp = jax.value_and_grad(loss_fn)(state.params)
+    # skip on non-finite loss or negligible coverage
+    ok = jnp.isfinite(loss) & (coverage > 0.05)
+    gp = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), gp)
+    lrs_eff = {k: v * weight * ok for k, v in lrs.items()}
+    new_params, new_adam = adam_update(state.params, gp, adam, lrs_eff)
+    return state._replace(params=new_params), new_adam, loss
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def fsgs_pseudo_step(state, adam, cam: CameraParams, midas_pseudo, lrs,
                      weight, active_degree, bg, cfg: FSGSConfig):
     """Distillation: pseudo-view rendered depth vs estimated depth
@@ -130,11 +188,27 @@ def proximity_candidates(state, scene_extent):
     outlier Gaussians (3NN-dist > 5·extent and scale > extent), propose
     midpoints to their 3 nearest neighbours. Returns (mask, nn_idx, dist)."""
     xyz = state.params["xyz"]
-    dist, idx = knn3(xyz)
+    dist, idx = knn3(xyz, valid=state.alive)
     scaling = jnp.max(gm.get_scaling(state), axis=-1)
     mask = (state.alive & (dist > 5.0 * scene_extent)
             & (scaling > scene_extent))
     return mask, idx, dist
+
+
+@jax.jit
+def fsgs_densify_masks(state, scene_extent, dist_thres):
+    """One KNN pass serving both FSGS densification extras:
+    * proximity mask (dist > 5·extent ∧ scale > extent,
+      `FSGS/scene/gaussian_model.py:405-408`) + 3-NN indices;
+    * distance-based extra SPLIT mask (dist > dist_thres·extent ∧
+      scale > extent, `gaussian_model.py:434-437`)."""
+    xyz = state.params["xyz"]
+    dist, idx = knn3(xyz, valid=state.alive)
+    scaling = jnp.max(gm.get_scaling(state), axis=-1)
+    big = state.alive & (scaling > scene_extent)
+    prox_mask = big & (dist > 5.0 * scene_extent)
+    split_mask = big & (dist > dist_thres * scene_extent)
+    return prox_mask, idx, split_mask
 
 
 def train_fsgs(dataset, opt, pipe, args):
@@ -167,7 +241,12 @@ def train_fsgs(dataset, opt, pipe, args):
                                        getattr(pipe, "tile_batch", 64))
     cfg = FSGSConfig(width=W, height=H, sh_degree=dataset.sh_degree,
                      raster=raster_cfg, lambda_dssim=opt.lambda_dssim,
-                     use_pallas=jax.default_backend() not in ("cpu",))
+                     use_pallas=jax.default_backend() not in ("cpu",),
+                     use_confidence=bool(getattr(pipe, "use_confidence",
+                                                 False)))
+    # per-Gaussian confidence: ones, carried across densification like the
+    # reference (`gaussian_model.py:158,351,402` keeps it all-ones)
+    confidence = jnp.ones((state.capacity,), jnp.float32)
 
     # pseudo poses (reference `scene/__init__.py:83-95`)
     if "360" in dataset.source_path:
@@ -195,10 +274,13 @@ def train_fsgs(dataset, opt, pipe, args):
 
         lrs = {k: jnp.asarray(f(it), jnp.float32)
                for k, f in lr_scheds.items() if k in state.params}
+        if confidence.shape[0] != state.capacity:
+            confidence = jnp.ones((state.capacity,), jnp.float32)
         state, adam, metrics = fsgs_step(
             state, adam, bank, jnp.asarray(cam_idx, jnp.int32), lrs,
             jnp.asarray(depth_weight, jnp.float32),
-            jnp.asarray(active_sh, jnp.int32), bg, cfg)
+            jnp.asarray(active_sh, jnp.int32), bg, cfg,
+            confidence=confidence)
 
         # pseudo-view depth distillation
         if (estimator.available and it % opt.sample_pseudo_interval == 0
@@ -207,28 +289,66 @@ def train_fsgs(dataset, opt, pipe, args):
                 pseudo_stack = list(pseudo_cams)
             pcam = pseudo_stack.pop(random.randint(0, len(pseudo_stack) - 1))
             pparams = CameraParams(*(jnp.asarray(a) for a in pcam.params()))
-            img, _ = fsgs_render_pseudo(state, pparams,
-                                        jnp.asarray(active_sh, jnp.int32),
-                                        bg, cfg)
-            midas = estimator.estimate(np.asarray(img))
-            if midas is not None:
-                scale = min((it - opt.start_sample_pseudo) / 500.0, 1.0)
-                w = scale * opt.depth_pseudo_weight
-                state, adam, _ = fsgs_pseudo_step(
-                    state, adam, pparams, jnp.asarray(midas, jnp.float32),
-                    lrs, jnp.asarray(w, jnp.float32),
-                    jnp.asarray(active_sh, jnp.int32), bg, cfg)
+            scale = min((it - opt.start_sample_pseudo) / 500.0, 1.0)
+            w = scale * opt.depth_pseudo_weight
+            if estimator.can_estimate:
+                # reference path: mono-depth network scores the render
+                img, _ = fsgs_render_pseudo(
+                    state, pparams, jnp.asarray(active_sh, jnp.int32), bg,
+                    cfg)
+                midas = estimator.estimate(np.asarray(img))
+                if midas is not None:
+                    state, adam, _ = fsgs_pseudo_step(
+                        state, adam, pparams, jnp.asarray(midas, jnp.float32),
+                        lrs, jnp.asarray(w, jnp.float32),
+                        jnp.asarray(active_sh, jnp.int32), bg, cfg)
+            else:
+                # offline path: warp the nearest train view's precomputed
+                # prior into the pseudo view (no wasted render when the
+                # provider cannot score novel images)
+                pc = np.asarray(pcam.params().cam_center)
+                dists = [float(np.linalg.norm(
+                    np.asarray(c.params().cam_center) - pc)) for c in cams]
+                j = int(np.argmin(dists))
+                if float(bank.has_depth[j]) > 0:
+                    state, adam, _ = fsgs_warped_pseudo_step(
+                        state, adam, bank.camera(jnp.asarray(j, jnp.int32)),
+                        bank.invdepth[j], pparams, lrs,
+                        jnp.asarray(w, jnp.float32),
+                        jnp.asarray(active_sh, jnp.int32), bg, cfg)
 
-        # densification
+        # densification (reference `FSGS/scene/gaussian_model.py:475-482`:
+        # clone → split(+dist mask) → proximity until iter 2000 → prune;
+        # here the prune happens inside densify_and_prune before proximity —
+        # a one-event ordering deviation on the appended midpoints)
         if it < opt.densify_until_iter:
             if (it > opt.densify_from_iter
                     and it % opt.densification_interval == 0):
+                if int(state.n_alive) > 0.85 * state.capacity:
+                    state = gm.grow_capacity(state, state.capacity * 2)
+                    adam = adam._replace(
+                        m={k: _pad_like(a, state.params[k])
+                           for k, a in adam.m.items()},
+                        v={k: _pad_like(a, state.params[k])
+                           for k, a in adam.v.items()})
+                prox_mask, nn_idx, extra_split = fsgs_densify_masks(
+                    state, scene.cameras_extent,
+                    jnp.asarray(getattr(opt, "dist_thres", 10.0)))
                 res = densify_and_prune(state, adam, jax.random.PRNGKey(it),
                                         opt.densify_grad_threshold, 0.005,
                                         scene.cameras_extent,
                                         max_screen_size=0,
-                                        percent_dense=opt.percent_dense)
+                                        percent_dense=opt.percent_dense,
+                                        extra_split_mask=extra_split)
                 state, adam = res.state, res.opt_state
+                if it < getattr(opt, "proximity_until_iter", 2000):
+                    # recompute on the post-prune state (compaction moved
+                    # slots, so the pre-densify indices are stale)
+                    prox_mask, nn_idx, _ = fsgs_densify_masks(
+                        state, scene.cameras_extent,
+                        jnp.asarray(getattr(opt, "dist_thres", 10.0)))
+                    pres = proximity_densify(state, adam, nn_idx, prox_mask)
+                    state, adam = pres.state, pres.opt_state
             if (it > opt.start_sample_pseudo
                     and (it - opt.start_sample_pseudo - 1)
                     % opt.opacity_reset_interval == 0):

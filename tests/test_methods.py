@@ -115,6 +115,95 @@ def test_fsgs_proximity():
     assert idx.shape == (state.capacity, 3)
 
 
+def test_fsgs_proximity_densify_fires():
+    """Proximity appends must fire and grow n_alive when outliers exist
+    (reference `FSGS/scene/gaussian_model.py:405-421,475-482`)."""
+    from sparse_view_3dgs_pack_tpu.train.densify import proximity_densify
+    from sparse_view_3dgs_pack_tpu.train.fsgs_loop import fsgs_densify_masks
+    from sparse_view_3dgs_pack_tpu.train.optim import init_adam
+
+    state, _, _ = _state_and_bank()
+    # make every alive gaussian an "outlier": large scale + tiny extent
+    params = dict(state.params)
+    params["scaling"] = jnp.where(state.alive[:, None],
+                                  jnp.log(jnp.full_like(
+                                      params["scaling"], 0.5)),
+                                  params["scaling"])
+    state = state._replace(params=params)
+    adam = init_adam(state.params)
+    extent = jnp.asarray(1e-4)
+    prox_mask, nn_idx, split_mask = fsgs_densify_masks(
+        state, extent, jnp.asarray(10.0))
+    assert bool(prox_mask.any()), "outlier construction must select sources"
+    n0 = int(state.n_alive)
+    res = proximity_densify(state, adam, nn_idx, prox_mask)
+    assert int(res.appended) > 0
+    assert int(res.state.n_alive) == n0 + int(res.appended)
+    # appended midpoints sit between source and neighbour
+    mid = res.state.params["xyz"][n0]
+    assert np.isfinite(np.asarray(mid)).all()
+    # dist-based split mask selects too (dist >> 10·extent here)
+    assert bool(split_mask.any())
+
+
+def test_fsgs_knn_ignores_dead_slots():
+    """knn3 with a validity mask must never return dead capacity slots as
+    neighbours (their coordinates are stale/garbage)."""
+    from sparse_view_3dgs_pack_tpu.ops.knn import knn3
+
+    rng = np.random.default_rng(3)
+    pts = np.zeros((64, 3), np.float32)
+    pts[:40] = rng.uniform(-1, 1, (40, 3))
+    pts[40:] = 0.0   # dead slots parked at origin — tempting false NNs
+    valid = np.arange(64) < 40
+    d, idx = knn3(jnp.asarray(pts), valid=jnp.asarray(valid))
+    assert (np.asarray(idx)[:40] < 40).all()
+
+
+def test_fsgs_confidence_scales_gradients():
+    """FSGS confidence (N2): forward identical, backward scaled per Gaussian
+    (`dgr_fsgs/__init__.py:146-158`)."""
+    from sparse_view_3dgs_pack_tpu.renderer import render_core
+
+    state, bank, _ = _state_and_bank()
+    cam = bank.camera(jnp.asarray(0, jnp.int32))
+    alive_f = state.alive.astype(jnp.float32)
+    conf = jnp.full((state.capacity,), 0.25)
+
+    def loss(params, confidence):
+        res = render_core(params, alive_f, jnp.eye(3, 4), cam, 48, 32,
+                          jnp.zeros(3), sh_degree_active=2, config=CFG,
+                          confidence=confidence)
+        return (res.render ** 2).mean()
+
+    img_c = loss(state.params, conf)
+    img_1 = loss(state.params, jnp.ones((state.capacity,)))
+    np.testing.assert_allclose(np.asarray(img_c), np.asarray(img_1),
+                               rtol=1e-6)  # forward unchanged
+
+    g_c = jax.grad(loss)(state.params, conf)["xyz"]
+    g_1 = jax.grad(loss)(state.params, jnp.ones((state.capacity,)))["xyz"]
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_1) * 0.25,
+                               rtol=1e-5, atol=1e-12)
+
+
+def test_fsgs_warped_pseudo_step_runs():
+    from sparse_view_3dgs_pack_tpu.train.fsgs_loop import (
+        FSGSConfig, fsgs_warped_pseudo_step)
+    from sparse_view_3dgs_pack_tpu.train.optim import init_adam
+
+    state, bank, cams = _state_and_bank(with_depth=True)
+    adam = init_adam(state.params)
+    cfg = FSGSConfig(width=48, height=32, sh_degree=2, raster=CFG)
+    lrs = {k: jnp.asarray(1e-2) for k in state.params}
+    src = bank.camera(jnp.asarray(0, jnp.int32))
+    dst = bank.camera(jnp.asarray(1, jnp.int32))
+    state2, adam2, loss = fsgs_warped_pseudo_step(
+        state, adam, src, bank.invdepth[0], dst, lrs, jnp.asarray(1.0),
+        jnp.asarray(1, jnp.int32), jnp.zeros(3), cfg)
+    assert np.isfinite(float(loss))
+
+
 def test_dng_step_runs():
     from sparse_view_3dgs_pack_tpu.models.neural_field import (
         NeuralFieldConfig, init_neural_field)

@@ -194,3 +194,41 @@ def test_densification_changes_count(scene_dir, tmp_path):
         trainer.step()
     n1 = int(trainer.state.n_alive)
     assert n1 != n0  # clone/split/prune actually fired
+
+
+def test_train_e2e_fsgs(scene_dir, tmp_path):
+    """Full train_fsgs loop: depth priors from precomputed maps, warped
+    pseudo-view distillation, proximity + dist-split densification."""
+    from sparse_view_3dgs_pack_tpu.train.fsgs_loop import train_fsgs
+
+    args = _Args()
+    args.source_path = scene_dir
+    args.model_path = str(tmp_path / "fsgs")
+    args.save_iterations = []
+    args.depth_estimator = "precomputed"
+    os.makedirs(args.model_path, exist_ok=True)
+    # synthesize precomputed depth priors (any smooth map works — the loss
+    # is correlation-based)
+    ddir = os.path.join(scene_dir, "depth_maps")
+    os.makedirs(ddir, exist_ok=True)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    for i in range(8):
+        np.save(os.path.join(ddir, f"r_{i}.npy"), 1.0 + 0.1 * (xx + yy) / W)
+
+    opt = _Opt()
+    opt.iterations = 40
+    opt.depth_weight = 0.05
+    opt.depth_pseudo_weight = 1.0
+    opt.sample_pseudo_interval = 5
+    opt.start_sample_pseudo = 5
+    opt.end_sample_pseudo = 1000
+    opt.densification_interval = 10
+    opt.densify_from_iter = 5
+    opt.densify_until_iter = 40
+    opt.proximity_until_iter = 40
+    opt.dist_thres = 10.0
+
+    scene = train_fsgs(args, opt, _Pipe(), args)
+    assert int(scene.gaussians.n_alive) > 0
+    res = np.asarray(scene.gaussians.params["xyz"][:int(scene.gaussians.n_alive)])
+    assert np.isfinite(res).all()
