@@ -24,6 +24,18 @@ class BenchTables:
     def __init__(self, summary_rows):
         self.rows = summary_rows
 
+    def _lpips_title_suffix(self):
+        """Make proxy LPIPS impossible to mistake for the published metric:
+        any row computed without converted VGG16 weights retitles the LPIPS
+        table."""
+        backends = {r.get("lpips_backend") for r in self.rows
+                    if r.get("lpips_backend")}
+        proxies = {b for b in backends if b and "vgg" not in str(b).lower()}
+        if proxies:
+            return " (PROXY backend: " + ", ".join(sorted(proxies)) + \
+                   " — not comparable to published LPIPS)"
+        return ""
+
     def aggregate(self):
         """→ {metric: {scene: {model: (mean, std, n)}}}"""
         agg = {m: defaultdict(dict) for m, _, _ in METRICS}
@@ -105,6 +117,8 @@ class BenchTables:
         tables_dir.mkdir(parents=True, exist_ok=True)
         combined = []
         for metric, title, best in METRICS:
+            if metric == "lpips":
+                title = title + self._lpips_title_suffix()
             tex = self._latex_table(metric, title, best)
             (tables_dir / f"{metric}.tex").write_text(tex)
             combined.append(tex)

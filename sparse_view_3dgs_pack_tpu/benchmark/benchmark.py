@@ -255,6 +255,11 @@ def execute_runs(runs, cfg, out_root: Path, python: str, dry=False):
                                          ("LPIPS", "lpips")):
                             if src in block:
                                 metrics[dst] = float(block[src])
+                        # never let a proxy LPIPS masquerade as the real
+                        # metric in downstream tables (offline envs without
+                        # converted VGG16 weights use a tagged proxy)
+                        if "LPIPS_backend" in block:
+                            metrics["lpips_backend"] = block["LPIPS_backend"]
             except Exception:
                 pass
 
@@ -269,7 +274,7 @@ def execute_runs(runs, cfg, out_root: Path, python: str, dry=False):
 
 def write_summary(summary_rows, out_root: Path):
     fieldnames = ["tag", "scene", "model", "seed", "exit_code",
-                  "duration_sec", "psnr", "ssim", "lpips"]
+                  "duration_sec", "psnr", "ssim", "lpips", "lpips_backend"]
     for row in summary_rows:
         for k in fieldnames:
             row.setdefault(k, None)

@@ -166,6 +166,26 @@ class Trainer:
                     print(f"[raster] pair bucket shrunk to "
                           f"{self.pipe.max_pairs}")
 
+    # -------------------------------------------------------------- viewer
+    def serve_viewer(self):
+        """Poll the SIBR remote-viewer socket once (reference polls every
+        iteration, `LGDWT-GS/train.py:82-95`). No-op when no listener."""
+        from ..viewer import network_gui
+        if network_gui.listener is None:
+            return
+
+        def render_fn(cam, scaling_modifier):
+            res = render(self.state, cam, self.background,
+                         sh_degree_active=self.active_sh_degree,
+                         scaling_modifier=float(scaling_modifier),
+                         config=None if (cam.width != self.width or
+                                         cam.height != self.height)
+                         else self._raster_cfg)
+            return res.render
+
+        network_gui.serve_once(render_fn,
+                               self.dataset_args.source_path)
+
     # ---------------------------------------------------------------- step
     def pick_camera(self) -> int:
         if not self.viewpoint_stack:
@@ -178,6 +198,7 @@ class Trainer:
         self.iteration += 1
         it = self.iteration
         o = self.opt
+        self.serve_viewer()
 
         if it % 1000 == 0 and self.active_sh_degree < self.dataset_args.sh_degree:
             self.active_sh_degree += 1

@@ -137,6 +137,8 @@ def serve_once(render_fn, source_path: str):
                 else True
             if do_training or not keep_alive:
                 break
-        except Exception:
+        except Exception as e:
+            if not isinstance(e, (ConnectionError, OSError)):
+                traceback.print_exc()
             conn = None
     return keep_training
