@@ -36,9 +36,34 @@ def render_set(model_path, name, iteration, views, trainer_state, bg,
                 os.path.join(gts_path, f"{idx:05d}.png"))
 
 
+def _depth_colormap(depth, alpha):
+    """Percentile-normalised -log(depth) turbo-style colormap, the
+    DNGaussian spiral-video visualisation (`DNGaussian/spiral.py:28-95`)."""
+    import numpy as np
+
+    d = np.asarray(depth, np.float32)
+    w = np.clip(np.asarray(alpha, np.float32), 0, 1)
+    v = -np.log(np.maximum(d, 1e-6))
+    flat = v.reshape(-1)
+    wf = w.reshape(-1)
+    order = np.argsort(flat)
+    acc = np.cumsum(wf[order])
+    if acc[-1] <= 0:
+        return np.zeros(d.shape + (3,), np.uint8)
+    lo, hi = np.interp([0.005 * acc[-1], 0.995 * acc[-1]], acc, flat[order])
+    x = np.clip((v - min(lo, hi)) / max(abs(hi - lo), 1e-9), 0, 1)
+    # compact turbo-like polynomial ramp (blue → green → red)
+    r = np.clip(1.6 * x - 0.3, 0, 1)
+    g = np.clip(1.7 - np.abs(2.4 * x - 1.2), 0, 1)
+    b = np.clip(1.2 - 1.6 * x, 0, 1)
+    rgb = np.stack([r, g, b], -1) * w[..., None]
+    return (rgb * 255).astype(np.uint8)
+
+
 def render_video(model_path, iteration, views, state, bg, raster_cfg,
-                 antialiasing, active_sh, fps=30):
-    """Spiral-path video (FSGS `render.py:55-81`)."""
+                 antialiasing, active_sh, fps=30, depth_video=False):
+    """Spiral-path video (FSGS `render.py:55-81`); with depth_video also a
+    depth-colormap spiral (DNGaussian `spiral.py`)."""
     import cv2
     import numpy as np
 
@@ -52,12 +77,20 @@ def render_video(model_path, iteration, views, state, bg, raster_cfg,
     writer = cv2.VideoWriter(
         os.path.join(model_path, "video", f"ours_{iteration}.mp4"),
         cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    dwriter = cv2.VideoWriter(
+        os.path.join(model_path, "video", f"depth_ours_{iteration}.mp4"),
+        cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)) if depth_video else None
     for cam in path_cams:
         res = render(state, cam, bg, sh_degree_active=active_sh,
                      antialiasing=antialiasing, config=raster_cfg)
         img = (np.clip(np.asarray(res.render), 0, 1) * 255).astype(np.uint8)
         writer.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        if dwriter is not None:
+            dm = _depth_colormap(res.expected_depth, res.alpha)
+            dwriter.write(cv2.cvtColor(dm, cv2.COLOR_RGB2BGR))
     writer.release()
+    if dwriter is not None:
+        dwriter.release()
 
 
 def main(argv=None):
@@ -72,6 +105,9 @@ def main(argv=None):
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--video", action="store_true")
+    parser.add_argument("--depth_video", action="store_true",
+                        help="also write a depth-colormap spiral video "
+                             "(DNGaussian spiral.py)")
     parser.add_argument("--fps", default=30, type=int)
     args = get_combined_args(parser, argv)
     print("Rendering " + args.model_path)
@@ -109,10 +145,11 @@ def main(argv=None):
         render_set(dataset.model_path, "test", scene.loaded_iter,
                    scene.getTestCameras(), state, bg, cfg,
                    pipe.antialiasing, sh)
-    if args.video:
+    if args.video or args.depth_video:
         render_video(dataset.model_path, scene.loaded_iter,
                      scene.getTrainCameras(), state, bg, cfg,
-                     pipe.antialiasing, sh, fps=args.fps)
+                     pipe.antialiasing, sh, fps=args.fps,
+                     depth_video=args.depth_video)
 
 
 if __name__ == "__main__":

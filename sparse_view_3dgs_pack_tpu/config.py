@@ -160,6 +160,9 @@ _DNG_OPT = dict(
     lambda_depth=1.0,
     lambda_smooth=0.0,
     near_prune_dist=0.0,
+    # 0 → SH-color fallback model (reference `gaussian_model_sh.py` +
+    # `render_sh` paths); 1 → hash-grid neural color/opacity field
+    use_neural=1,
 )
 
 # mult-dwtgs extras (reference `mult-dwtgs/arguments/__init__.py:61-64`)

@@ -284,6 +284,7 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
             error_tolerance=opt.error_tolerance,
             shape_pena=opt.shape_pena, scale_pena=opt.scale_pena,
             opa_pena=opt.opa_pena, use_mask=(dataset_type == "dtu"),
+            use_neural=bool(getattr(opt, "use_neural", 1)),
             use_pallas=jax.default_backend() not in ("cpu",),
             use_smooth=(it > 3000), use_soft=(it > opt.soft_depth_start))
 

@@ -136,3 +136,61 @@ def test_read_blender_scene(tmp_path):
     center = np.linalg.inv(get_world2view(c.R, c.T))[:3, 3]
     assert math.isclose(np.linalg.norm(center[:2]), 3.0, rel_tol=1e-4)
     assert math.isclose(center[2], 1.5, rel_tol=1e-4)
+
+
+def test_gaussian_ply_byte_compat(tmp_path):
+    """The saved point_cloud.ply must be byte-identical in layout to the
+    reference writer (`LGDWT-GS/scene/gaussian_model.py:225-256` via
+    plyfile): binary_little_endian 1.0, the exact property order
+    x,y,z,nx,ny,nz,f_dc_*,f_rest_*,opacity,scale_*,rot_*, all f4, and
+    row-interleaved values with features transposed (K, C) -> (C, K)."""
+    import struct
+
+    import numpy as np
+
+    from sparse_view_3dgs_pack_tpu.models import gaussians as gm
+
+    rng = np.random.default_rng(5)
+    n, sh = 4, 2
+    state = gm.create_from_pcd(rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+                               rng.random((n, 3)).astype(np.float32),
+                               n_images=1, sh_degree=sh, capacity=8)
+    # give features_rest distinguishable values to pin the transpose order
+    K = (sh + 1) ** 2
+    fr = np.arange(8 * (K - 1) * 3, dtype=np.float32).reshape(8, K - 1, 3)
+    params = dict(state.params)
+    params["features_rest"] = fr
+    state = state._replace(params=params)
+    path = str(tmp_path / "pc.ply")
+    gm.save_ply(state, path)
+
+    raw = open(path, "rb").read()
+    header, body = raw.split(b"end_header\n", 1)
+    lines = header.decode("ascii").splitlines()
+    assert lines[0] == "ply"
+    assert lines[1] == "format binary_little_endian 1.0"
+    assert f"element vertex {n}" in lines
+    want = (["x", "y", "z", "nx", "ny", "nz"]
+            + [f"f_dc_{i}" for i in range(3)]
+            + [f"f_rest_{i}" for i in range((K - 1) * 3)]
+            + ["opacity"]
+            + [f"scale_{i}" for i in range(3)]
+            + [f"rot_{i}" for i in range(4)])
+    props = [ln.split()[-1] for ln in lines if ln.startswith("property")]
+    types = {ln.split()[1] for ln in lines if ln.startswith("property")}
+    assert props == want
+    assert types == {"float"}
+
+    ncols = len(want)
+    assert len(body) == n * ncols * 4
+    rows = np.frombuffer(body, "<f4").reshape(n, ncols)
+    np.testing.assert_allclose(rows[:, 0:3],
+                               np.asarray(state.params["xyz"][:n]))
+    assert (rows[:, 3:6] == 0).all()                      # normals zero
+    # features_rest stored TRANSPOSED: (K-1, C) -> channel-major (C, K-1)
+    expect_rest = fr[:n].transpose(0, 2, 1).reshape(n, -1)
+    np.testing.assert_allclose(rows[:, 9:9 + (K - 1) * 3], expect_rest)
+    # roundtrip through the loader restores the (K-1, C) layout
+    loaded = gm.load_ply(path, sh_degree=sh)
+    np.testing.assert_allclose(np.asarray(loaded.params["features_rest"][:n]),
+                               fr[:n], rtol=1e-6)

@@ -257,3 +257,41 @@ def test_nir_step_runs():
     assert float(m["nir"]) > 0
     # NIR gradient path reaches the albedo/gain params
     assert float(state.params["nir_gain"][0]) != gain0
+
+
+def test_dng_step_sh_fallback():
+    """DNGaussian with use_neural=0 — the SH-color fallback model
+    (reference `gaussian_model_sh.py` + `render_sh` duals,
+    `DNGaussian/gaussian_renderer/__init__.py:21-445`), CLI-reachable via
+    `--use_neural 0`."""
+    from sparse_view_3dgs_pack_tpu.models.neural_field import (
+        NeuralFieldConfig, init_neural_field)
+    from sparse_view_3dgs_pack_tpu.ops.hashgrid import HashGridConfig
+    from sparse_view_3dgs_pack_tpu.train.dng_loop import (DNGConfig, dng_step,
+                                                          neural_lr_tree)
+    from sparse_view_3dgs_pack_tpu.train.optim import (init_adam,
+                                                       init_tree_adam)
+
+    state, bank, _ = _state_and_bank(with_depth=True)
+    adam = init_adam(state.params)
+    ncfg = NeuralFieldConfig(grid=HashGridConfig(num_levels=4,
+                                                 log2_hashmap_size=10,
+                                                 desired_resolution=64))
+    nparams = init_neural_field(jax.random.PRNGKey(0), ncfg)
+    nadam = init_tree_adam(nparams)
+    nlrs = neural_lr_tree(nparams, 5e-3, 5e-4)
+    cfg = DNGConfig(width=48, height=32, sh_degree=2, raster=CFG,
+                    neural=ncfg, use_neural=False)
+    lrs = {k: jnp.asarray(1e-3) for k in state.params}
+    xyz0 = np.asarray(state.params["xyz"][:10]).copy()
+    np0 = jax.tree.map(lambda a: np.asarray(a).copy(), nparams)
+    for i in range(3):
+        state, nparams, adam, nadam, m = dng_step(
+            state, nparams, adam, nadam, bank, jnp.asarray(0, jnp.int32),
+            jnp.asarray(i % 12, jnp.int32), lrs, nlrs,
+            jnp.asarray(1, jnp.int32), jnp.zeros(3), cfg)
+    assert np.isfinite(float(m["loss"]))
+    assert not np.allclose(np.asarray(state.params["xyz"][:10]), xyz0)
+    # neural field untouched in the SH path
+    for a, b in zip(jax.tree.leaves(nparams), jax.tree.leaves(np0)):
+        np.testing.assert_array_equal(np.asarray(a), b)
