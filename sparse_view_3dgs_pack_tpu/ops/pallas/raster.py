@@ -208,17 +208,24 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
             log1m, triu_ones, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mm_precision)                      # (256, CHUNK)
-        # CUDA's T<1e-4 stop is PERMANENT: contribution must be a prefix per
-        # pixel (the backward replays it from n_contrib). Within a chunk
-        # s_incl is monotone, but the carry excludes post-crossing alphas, so
-        # a later small alpha could re-cross above the threshold — the sticky
-        # `done` flag forbids that. `valid` keeps head/tail padding lanes out
-        # of n_contrib (still a prefix: valid is itself a contiguous range).
-        contribute = (s_incl >= LOG_T_EPS) & (done < 0.5) & valid
-        done = jnp.maximum(done,
-                           (s_incl[:, -1:] < LOG_T_EPS).astype(jnp.float32))
         s_excl = s_incl - log1m
-        w = jnp.where(contribute, alpha * jnp.exp(s_excl), 0.0)
+        if compute_n_contrib:
+            # CUDA's T<1e-4 stop is PERMANENT: contribution must be a prefix
+            # per pixel (the backward replays it from n_contrib). Within a
+            # chunk s_incl is monotone, but the carry excludes post-crossing
+            # alphas, so a later small alpha could re-cross above the
+            # threshold — the sticky `done` flag forbids that. `valid` keeps
+            # head/tail padding lanes out of n_contrib (still a prefix:
+            # valid is itself a contiguous range).
+            contribute = (s_incl >= LOG_T_EPS) & (done < 0.5) & valid
+            done = jnp.maximum(
+                done, (s_incl[:, -1:] < LOG_T_EPS).astype(jnp.float32))
+            w = jnp.where(contribute, alpha * jnp.exp(s_excl), 0.0)
+        else:
+            # inference: non-sticky cutoff — post-threshold terms carry
+            # weight < 1e-4, radiometrically invisible, and this kernel is
+            # VPU-issue-bound (each dropped (256,CHUNK) op is ~4% of it)
+            w = alpha * jnp.exp(s_excl)
 
         payload = d[6:14, :]                            # (8, CHUNK)
         accum = accum + jax.lax.dot_general(
@@ -228,15 +235,19 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
         if compute_n_contrib:   # only the backward replay needs it
             n_contrib = n_contrib + jnp.sum(
                 contribute.astype(jnp.float32), axis=1, keepdims=True)
-        log_t = log_t + jnp.sum(jnp.where(contribute, log1m, 0.0),
-                                axis=1, keepdims=True)
+            log_t = log_t + jnp.sum(jnp.where(contribute, log1m, 0.0),
+                                    axis=1, keepdims=True)
+        else:
+            log_t = s_incl[:, -1:]                       # all lanes counted
         if early_exit:
             # the all-pixels-done reduction is a vector→scalar sync
             # (~150 ns); amortise it over 4 chunks
+            done_src = done if compute_n_contrib else \
+                (s_incl[:, -1:] < LOG_T_EPS).astype(jnp.float32)
             stop = jax.lax.cond(
                 (k & 3) == 3,
                 lambda d: (jnp.min(d) >= 0.5).astype(jnp.int32),
-                lambda d: stop, done)
+                lambda d: stop, done_src)
         return k + 1, log_t, done, accum, n_contrib, stop
 
     def cond(state):
