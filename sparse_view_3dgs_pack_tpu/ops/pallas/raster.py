@@ -92,11 +92,16 @@ def pack_fields(means2d, depths, conics, colors, opacities,
     ids_c = jnp.where(ids >= 0, ids, rows.shape[0] - 1)
     ids_c = jnp.concatenate(
         [ids_c, jnp.full((pad,), rows.shape[0] - 1, ids_c.dtype)])
-    data = rows[ids_c]                                 # (NC*CHUNK, 16) gather
-    # The barrier stops XLA fusing the transpose INTO the gather (a fused
-    # transposing gather degrades to per-element access, ~8× slower).
-    data = jax.lax.optimization_barrier(data)
-    return data.reshape(nc, CHUNK, DROWS).transpose(0, 2, 1)
+    # Gather DIRECTLY into chunk-major (NC, 16, CHUNK): a plain (NBUF, 16)
+    # row gather would materialize with the minor dim tile-padded 16→128 —
+    # 8× the logical bytes (a 33M-pair bucket would be a 17 GB allocation).
+    # offset_dims=(1,) places the row's 16 values on the MIDDLE output dim,
+    # keeping CHUNK=128 minor (exact lane tile, no padding).
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    return jax.lax.gather(
+        rows, ids_c.reshape(nc, CHUNK, 1), dnums, slice_sizes=(1, DROWS),
+        mode=jax.lax.GatherScatterMode.CLIP)
 
 
 def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,

@@ -109,9 +109,11 @@ def make_pallas_rasterizer(width: int, height: int, channels: int,
         slot = jnp.arange(nbuf, dtype=jnp.int32)
         valid = (slot < jnp.max(starts + counts)) & (ids >= 0)
         seg_ids = jnp.where(valid, ids, P)  # dropped bucket
-        # (NC, 16, CHUNK) chunk-major → (NBUF, 14) pair-major
-        d_rows = d_pairs.transpose(0, 2, 1).reshape(-1, d_pairs.shape[1])
-        contrib = jnp.where(valid[:, None], d_rows[:nbuf, :14], 0.0)
+        # (NC, 16, CHUNK) chunk-major → (NBUF, 14) pair-major. Note: the
+        # (N, 14) form is tile-padded to 128 lanes on TPU (8× bytes) — the
+        # trainer caps max_pairs at 2^23 so this stays bounded.
+        d_rows = d_pairs[:, :14, :].transpose(0, 2, 1).reshape(-1, 14)
+        contrib = jnp.where(valid[:, None], d_rows[:nbuf], 0.0)
         per_gauss = jax.ops.segment_sum(contrib, seg_ids,
                                         num_segments=P + 1)[:P]  # (P, 14)
 

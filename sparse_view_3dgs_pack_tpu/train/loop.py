@@ -150,6 +150,18 @@ class Trainer:
             new_pairs = self._raster_cfg.max_pairs
             while new_pairs < n_pairs * 1.3:
                 new_pairs *= 2
+            # Hard cap: transient exploding gaussians can touch every tile
+            # (pairs ≈ P·num_tiles). Beyond this the farthest-tile tail is
+            # dropped for a few iterations instead of risking HBM OOM; size
+            # screening prunes the offenders at the next reset interval.
+            cap = 1 << 23
+            if new_pairs > cap:
+                print(f"[raster] WARNING: pair demand {n_pairs} exceeds the "
+                      f"{cap} bucket cap; tail pairs drop until oversized "
+                      "gaussians are pruned")
+                new_pairs = cap
+            if new_pairs == self._raster_cfg.max_pairs:
+                return
             self.pipe.max_pairs = new_pairs
             self._shrink_streak = 0
             self._rebuild_config()
