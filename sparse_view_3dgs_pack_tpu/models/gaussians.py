@@ -161,15 +161,29 @@ def _next_capacity(n: int, minimum: int = 1 << 12) -> int:
 
 
 def grow_capacity(state: GaussianState, new_capacity: int) -> GaussianState:
-    """Host-side buffer doubling (triggers re-jit downstream)."""
+    """Host-side buffer doubling (triggers re-jit downstream).
+
+    Pad values matter: a zero-padded quaternion has zero norm, and the
+    normalisation's sqrt has an INFINITE gradient at 0 — autodiff turns the
+    dead slots' zero cotangents into NaN (0·inf), Adam writes NaN params,
+    and the NaN conics cast to garbage radii that can make every dead slot
+    touch every tile (a 20M-pair explosion at the first capacity growth of
+    a long run). Dead slots get identity rotations and log-scale/-opacity
+    floors, exactly like create_from_pcd's initial padding."""
     cap = state.capacity
     assert new_capacity > cap
 
-    def pad(a):
-        pads = [(0, new_capacity - cap)] + [(0, 0)] * (a.ndim - 1)
-        return jnp.pad(a, pads)
+    _FILL = {"rotation": None, "scaling": -10.0, "opacity": -10.0}
 
-    params = {k: (pad(v) if v.shape and v.shape[0] == cap else v)
+    def pad(a, k=None):
+        pads = [(0, new_capacity - cap)] + [(0, 0)] * (a.ndim - 1)
+        fill = _FILL.get(k, 0.0)
+        if k == "rotation":
+            ident = jnp.zeros((new_capacity - cap, 4), a.dtype).at[:, 0].set(1.0)
+            return jnp.concatenate([a, ident], axis=0)
+        return jnp.pad(a, pads, constant_values=fill)
+
+    params = {k: (pad(v, k) if v.shape and v.shape[0] == cap else v)
               for k, v in state.params.items()}
     return state._replace(
         params=params,

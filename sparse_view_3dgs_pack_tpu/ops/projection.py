@@ -36,8 +36,10 @@ def compute_cov3d(scales, quats, scale_modifier=1.0):
 
     Flat (P,)-vector arithmetic (no per-point 3×3 matmuls): Σ_ik =
     Σ_j R_ij R_kj s_j²."""
+    # +1e-24 inside the sqrt: finite gradient at q=0 (see build_rotation)
     q = quats / jnp.maximum(
-        jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12)
+        jnp.sqrt(jnp.sum(quats * quats, axis=-1, keepdims=True) + 1e-24),
+        1e-12)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     R = [
         [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
@@ -172,7 +174,10 @@ def project_gaussians(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
         colors = jnp.maximum(eval_sh(sh_degree, sh, dirs) + 0.5, 0.0)
 
-    radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    # NaN/Inf radii (corrupt params) cast to garbage ints that can claim
+    # every tile — force them culled instead of exploding the pair count
+    radii = jnp.where(valid & jnp.isfinite(radius),
+                      jnp.minimum(radius, 1e7), 0.0).astype(jnp.int32)
     return Projected(
         means2d=means2d,
         depths=jnp.where(valid, p_view[:, 2], jnp.inf),

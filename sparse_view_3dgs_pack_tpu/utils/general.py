@@ -51,8 +51,12 @@ def get_expon_lr_func(lr_init, lr_final, lr_delay_steps=0,
 
 
 def build_rotation(q):
-    """Unit-normalised quaternion (w, x, y, z) → rotation matrix. q: (..., 4)."""
-    norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+    """Unit-normalised quaternion (w, x, y, z) → rotation matrix. q: (..., 4).
+
+    The +1e-24 inside the sqrt keeps the GRADIENT finite at q=0 (sqrt' is
+    infinite there; a zero-padded dead slot would turn its zero cotangent
+    into NaN via 0·inf). Invisible for unit-scale quaternions."""
+    norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
     q = q / jnp.maximum(norm, 1e-12)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     R = jnp.stack([

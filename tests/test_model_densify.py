@@ -185,3 +185,48 @@ def test_grow_capacity():
     np.testing.assert_allclose(np.asarray(st2.params["xyz"][:10]),
                                np.asarray(st.params["xyz"][:10]))
     assert not bool(st2.alive[10])
+
+
+def test_grow_capacity_dead_slots_no_nan_grads():
+    """Regression: grow_capacity used to zero-pad rotations; the quaternion
+    normalisation's sqrt has an infinite gradient at 0, so dead slots turned
+    their zero cotangents into NaN (0*inf), Adam wrote NaN params, and the
+    garbage radii exploded the pair count ~20M at the first capacity growth
+    of a long run."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_view_3dgs_pack_tpu import testing
+    from sparse_view_3dgs_pack_tpu.ops.rasterize_tiles import RasterConfig
+    from sparse_view_3dgs_pack_tpu.train.optim import (init_adam,
+                                                       init_exposure_adam)
+    from sparse_view_3dgs_pack_tpu.train.step import (CameraBank, StepCarry,
+                                                      StepConfig, train_step)
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (60, 3)).astype(np.float32)
+    state = gm.create_from_pcd(pts, rng.random((60, 3)).astype(np.float32),
+                               n_images=1, sh_degree=1, capacity=64)
+    state = gm.grow_capacity(state, 128)
+    # grown pad must be renderable-inert, not NaN-generating
+    assert np.isfinite(np.asarray(state.params["rotation"])).all()
+    assert np.asarray(state.params["rotation"])[64:, 0].min() > 0.5
+
+    cams = testing.make_orbit_cameras(1, radius=3.5, width=32, height_px=32)
+    cams[0].image = rng.random((32, 32, 3)).astype(np.float32)
+    cams[0].alpha_mask = np.ones((32, 32), np.float32)
+    bank = CameraBank.from_cameras(cams)
+    cfg = StepConfig(width=32, height=32, sh_degree=1,
+                     raster=RasterConfig(max_pairs=1 << 11, max_per_tile=64,
+                                         tile_batch=2))
+    adam = init_adam(state.params)
+    out = train_step(state, adam, init_exposure_adam(state.exposure),
+                     StepCarry(dwt_running_mean=jnp.ones(())), bank,
+                     jnp.asarray(0, jnp.int32),
+                     {k: jnp.asarray(1e-2) for k in state.params},
+                     jnp.asarray(0.0), jnp.asarray(0.0),
+                     jnp.asarray(1, jnp.int32), jnp.zeros(3), cfg)
+    for k, v in out.state.params.items():
+        assert np.isfinite(np.asarray(v)).all(), f"NaN in {k} after step"
+    for k, v in out.adam.m.items():
+        assert np.isfinite(np.asarray(v)).all(), f"NaN Adam moment for {k}"
