@@ -168,6 +168,11 @@ def main():
         "train_iters_per_sec_800p": round(train_its, 2),
         "train_vs_baseline": round(train_its / TRAIN_BASELINE_ITS, 3),
         "device": _device_name(),
+        # anchors are literature constants, not locally measured (no CUDA
+        # GPU exists here): >=30 fps @1080p is the 3DGS paper's real-time
+        # claim (gaussian-splatting/README.md:14, RTX-class); ~15 it/s is a
+        # consumer-GPU 30k-schedule training rate
+        "baseline_src": "3dgs-paper-30fps-1080p;consumer-gpu-15its",
     }
     print(json.dumps(result))
 
