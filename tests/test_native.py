@@ -62,3 +62,28 @@ def test_ply_parity(tmp_path):
     fast = native.read_ply_fast(path)
     for k, v in props.items():
         np.testing.assert_array_equal(fast[k], v)
+
+
+def test_fastio_rejects_corrupt_counts(tmp_path):
+    """Corrupt/crafted headers must raise IOError, not wrap allocations or
+    abort the process (advisor finding: raw uint64 counts)."""
+    fastio = pytest.importorskip("fastio")
+    import struct
+
+    bad = tmp_path / "points3D.bin"
+    # a point count far beyond the file size
+    bad.write_bytes(struct.pack("<Q", 1 << 60) + b"\x00" * 64)
+    with pytest.raises(IOError):
+        fastio.read_points3d_bin(str(bad))
+
+    # a plausible n but a track length that wraps the seek
+    rec = struct.pack("<Q", 1)  # n = 1
+    rec += struct.pack("<Q", 7)                 # point id
+    rec += struct.pack("<3d", 0, 0, 0)          # xyz
+    rec += bytes([1, 2, 3])                     # rgb
+    rec += struct.pack("<d", 0.5)               # err
+    rec += struct.pack("<Q", 1 << 61)           # absurd track len
+    bad2 = tmp_path / "points3D_2.bin"
+    bad2.write_bytes(rec)
+    with pytest.raises(IOError):
+        fastio.read_points3d_bin(str(bad2))
