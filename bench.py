@@ -46,8 +46,11 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
     cloud = build_scene(n)
     cams = make_orbit_cameras(4 * frames, radius=6.0, width=width,
                               height_px=height)
-    # buckets need not be powers of two; ~1.05M real pairs at 1080p
-    max_pairs = 1_441_792
+    # 32x16 inference tiles (matches render_core's inference path): ~30%
+    # fewer pairs than 16x16 (0.72M real at 1080p) + half the tile programs
+    tile_x, tile_y = 32, 16
+    # buckets need not be powers of two
+    max_pairs = 1_048_576
 
     params = {
         "xyz": jnp.asarray(cloud["xyz"]),
@@ -57,7 +60,8 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
         "sh": jnp.asarray(cloud["features"]),
     }
 
-    raster_fn = make_pallas_rasterizer(width, height, 3, inference=True)
+    raster_fn = make_pallas_rasterizer(width, height, 3, inference=True,
+                                       tile_x=tile_x, tile_y=tile_y)
 
     def render_frame(p, viewmat, full_proj, cam_center, tanx, tany):
         proj = project_gaussians(
@@ -66,7 +70,7 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
             cam_center=cam_center, tan_fovx=tanx, tan_fovy=tany,
             width=width, height=height, sh=p["sh"], sh_degree=0)
         ba = bin_gaussians(proj.means2d, proj.depths, proj.radii,
-                                   width, height, max_pairs)
+                           width, height, max_pairs, tile_x, tile_y)
         color, _, _, _ = raster_fn(proj.means2d, proj.depths, proj.conics,
                                    proj.colors, proj.opacities, ba.ids,
                                    ba.tile_starts, ba.tile_counts,
@@ -157,16 +161,63 @@ def bench_train(width=800, height=800, n=100_000, iters=10):
     return 1.0 / best
 
 
+PHASES = {"render": lambda: bench_render(), "train": lambda: bench_train()}
+
+
+def _run_phase_child(phase):
+    """Child mode: run one bench phase and print {"value": N} on success."""
+    value = PHASES[phase]()
+    print(json.dumps({"value": value}))
+
+
+def _run_phase(phase, attempts=4, timeout=2400):
+    """Run one bench phase in a fresh subprocess, retrying on failure.
+
+    The TPU backend occasionally throws a transient INTERNAL error at the
+    very first device touch (observed in BENCH_r02: a single unprotected
+    attempt erased the round's perf record). A fresh process recovers —
+    same defence `__graft_entry__.dryrun_multichip` uses. Returns the
+    phase's float value, or None if every attempt failed.
+    """
+    import subprocess
+
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", phase],
+                capture_output=True, text=True, timeout=timeout)
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"[bench] {phase} attempt {attempt + 1}: "
+                             f"timed out after {timeout}s\n")
+            continue
+        if proc.returncode == 0:
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    payload = json.loads(line)
+                except (json.JSONDecodeError, ValueError):
+                    continue
+                if isinstance(payload, dict) and "value" in payload:
+                    return float(payload["value"])
+        sys.stderr.write(
+            f"[bench] {phase} attempt {attempt + 1}/{attempts} failed "
+            f"(rc={proc.returncode}); stderr tail:\n{proc.stderr[-2000:]}\n")
+        time.sleep(3.0 * (attempt + 1))
+    return None
+
+
 def main():
-    render_fps = bench_render()
-    train_its = bench_train()
+    render_fps = _run_phase("render")
+    train_its = _run_phase("train")
     result = {
         "metric": "render_fps_1080p",
-        "value": round(render_fps, 2),
+        "value": round(render_fps, 2) if render_fps else None,
         "unit": "fps",
-        "vs_baseline": round(render_fps / RENDER_BASELINE_FPS, 3),
-        "train_iters_per_sec_800p": round(train_its, 2),
-        "train_vs_baseline": round(train_its / TRAIN_BASELINE_ITS, 3),
+        "vs_baseline": (round(render_fps / RENDER_BASELINE_FPS, 3)
+                        if render_fps else None),
+        "train_iters_per_sec_800p": (round(train_its, 2)
+                                     if train_its else None),
+        "train_vs_baseline": (round(train_its / TRAIN_BASELINE_ITS, 3)
+                              if train_its else None),
         "device": _device_name(),
         # anchors are literature constants, not locally measured (no CUDA
         # GPU exists here): >=30 fps @1080p is the 3DGS paper's real-time
@@ -175,6 +226,7 @@ def main():
         "baseline_src": "3dgs-paper-30fps-1080p;consumer-gpu-15its",
     }
     print(json.dumps(result))
+    return 0 if render_fps is not None else 1
 
 
 def _device_name():
@@ -186,4 +238,7 @@ def _device_name():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        _run_phase_child(sys.argv[2])
+        sys.exit(0)
+    sys.exit(main())

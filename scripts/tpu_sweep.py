@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""Full 4-method `gs_benchmark runall` sweep on the real TPU.
+
+Builds two synthetic scenes whose images are *real renders* of a known
+Gaussian cloud (so training has a consistent multi-view signal), writes a
+harness YAML covering {3dgs, lgdwt, fsgs, dngaussian}, and runs the
+subprocess train→render→metrics pipeline exactly as a user would
+(reference contract: `fs3dgs_benchmark/benchmark.py:283-474`). Results
+land in <workdir>/bench_runs/<run_id>/{summary.csv,tables/}.
+
+Usage: python scripts/tpu_sweep.py [workdir] [--iters N] [--dry]
+"""
+import argparse
+import json
+import math
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+
+def build_scene(root, seed, w=256, n_train=12, n_test=4, n_gauss=1500,
+                depth_priors=False):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image as PILImage
+
+    from sparse_view_3dgs_pack_tpu import testing
+    from sparse_view_3dgs_pack_tpu.data.ply import store_point_cloud
+    from sparse_view_3dgs_pack_tpu.ops.projection import project_gaussians
+    from sparse_view_3dgs_pack_tpu.ops.rasterize_tiles import (RasterConfig,
+                                                               rasterize)
+
+    cloud = testing.make_gaussian_cloud(seed, n_gauss, extent=0.9,
+                                        scale_range=(0.04, 0.12))
+
+    def render(cam):
+        p = cam.params()
+        proj = project_gaussians(
+            means3d=jnp.asarray(cloud["xyz"]),
+            scales=jnp.exp(jnp.asarray(cloud["scales"])),
+            quats=jnp.asarray(cloud["quats"]),
+            opacities=jax.nn.sigmoid(jnp.asarray(cloud["opacity"][:, 0])),
+            viewmat=jnp.asarray(p.viewmat),
+            full_proj=jnp.asarray(p.full_proj),
+            cam_center=jnp.asarray(p.cam_center),
+            tan_fovx=float(p.tan_fovx), tan_fovy=float(p.tan_fovy),
+            width=w, height=w, sh=jnp.asarray(cloud["features"]),
+            sh_degree=0)
+        out = rasterize(proj, w, w, jnp.zeros(3),
+                        RasterConfig(max_pairs=1 << 17, max_per_tile=512,
+                                     tile_batch=16))
+        return out.color, out.invdepth
+
+    os.makedirs(os.path.join(root, "train"), exist_ok=True)
+    os.makedirs(os.path.join(root, "test"), exist_ok=True)
+    meta = {}
+    for split, n, off in (("train", n_train, 0.0), ("test", n_test, 0.26)):
+        cams = testing.make_orbit_cameras(n, radius=3.5, width=w,
+                                          height_px=w)
+        frames = []
+        for i, cam in enumerate(cams):
+            # offset test azimuths so splits don't coincide
+            a = 2 * math.pi * i / n + off
+            eye = (3.5 * math.cos(a), 3.5 * math.sin(a), 1.2)
+            R, T = testing.look_at_rt(eye, (0, 0, 0))
+            cam.R, cam.T = R, T
+            img, invd = render(cam)
+            img = np.asarray(img)
+            if depth_priors and split == "train":
+                # mono-depth-style prior: TRUE inverse depth under an
+                # affine distortion (the scale/shift ambiguity a real
+                # MiDaS prior has, which alignment must undo)
+                ddir = os.path.join(root, "depth_maps")
+                os.makedirs(ddir, exist_ok=True)
+                np.save(os.path.join(ddir, f"r_{i}.npy"),
+                        (2.3 * np.asarray(invd) + 0.7).astype(np.float32))
+            arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            name = f"./{split}/r_{i}"
+            PILImage.fromarray(arr).save(
+                os.path.join(root, f"{split}/r_{i}.png"))
+            w2c = np.eye(4)
+            w2c[:3, :3] = cam.R.T
+            w2c[:3, 3] = cam.T
+            c2w = np.linalg.inv(w2c)
+            c2w[:3, 1:3] *= -1
+            frames.append({"file_path": name,
+                           "transform_matrix": c2w.tolist()})
+        meta[split] = {"camera_angle_x": cams[0].fovx, "frames": frames}
+    for split in ("train", "test"):
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump(meta[split], f)
+    rng = np.random.default_rng(seed)
+    sel = rng.choice(n_gauss, 400, replace=False)
+    store_point_cloud(os.path.join(root, "points3d.ply"),
+                      cloud["xyz"][sel] + rng.normal(0, 0.04, (400, 3)),
+                      rng.random((400, 3)))
+    return root
+
+
+def write_config(workdir, scene_dirs, iters):
+    import yaml
+
+    common_argmap = {
+        "source_path": "source_path", "model_path": "model_path",
+        "sh_degree": "sh_degree", "iterations": "iterations",
+        "test_iterations": "test_iterations",
+        "save_iterations": "save_iterations", "eval": "eval",
+        "quiet": "quiet", "disable_viewer": "disable_viewer",
+        "method": "method", "dataset_type": "dataset_type",
+    }
+
+    def model(name, method, extra_args=None):
+        args = {"iterations": iters, "sh_degree": 2, "eval": True}
+        args.update(extra_args or {})
+        it = args["iterations"]
+        args.setdefault("test_iterations", [it])
+        args.setdefault("save_iterations", [it])
+        return {"name": name, "repo_dir": REPO, "entry": "./train.py",
+                "render_entry": "./render.py",
+                "metrics_entry": "./metrics.py", "method": method,
+                "arg_map": dict(common_argmap), "args": args}
+
+    cfg = {
+        "defaults": {
+            "env": {},
+            "common_args": {"disable_viewer": True, "quiet": True,
+                            "method": None},
+            "dataset_root": os.path.join(workdir, "data"),
+            "out_root": os.path.join(workdir, "bench_runs"),
+            "seeds": [42],
+            "run_render": True,
+            "run_metrics": True,
+            "run_desc": "tpu-4method-sweep",
+        },
+        "scenes": [{"name": os.path.basename(d), "source_path": d}
+                   for d in scene_dirs],
+        "models": [
+            model("3dgs", "3dgs"),
+            model("lgdwt", "lgdwt"),
+            model("fsgs", "fsgs",
+                  {"iterations": max(iters // 2, 500)}),
+            model("dngaussian", "dngaussian",
+                  {"iterations": max(iters // 2, 500),
+                   "dataset_type": "blender"}),
+        ],
+        "grid": {},
+        "overrides": {},
+    }
+    path = os.path.join(workdir, "sweep.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default="/tmp/tpu_sweep")
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--dry", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    scene_dirs = []
+    for name, seed in (("syntha", 7), ("synthb", 23)):
+        d = os.path.join(args.workdir, "data", name)
+        if not os.path.exists(os.path.join(d, "transforms_train.json")):
+            os.makedirs(d, exist_ok=True)
+            print(f"[sweep] building scene {name}", flush=True)
+            build_scene(d, seed)
+        scene_dirs.append(d)
+
+    cfg_path = write_config(args.workdir, scene_dirs, args.iters)
+    from sparse_view_3dgs_pack_tpu.benchmark.benchmark import main as runall
+    runall(["-c", cfg_path] + (["--dry"] if args.dry else []))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,19 +37,27 @@ class Binning(NamedTuple):
     pair_tiles: jnp.ndarray = None  # (max_pairs,) int32 tile of each sorted pair
 
 
-def tile_grid(width: int, height: int, tile: int = TILE):
-    return (width + tile - 1) // tile, (height + tile - 1) // tile
+def tile_grid(width: int, height: int, tile: int = TILE,
+              tile_y: int = None):
+    """Tile grid dims; rectangular tiles via `tile_y` (x size = `tile`).
+    Wider tiles cut horizontal duplication (fewer pairs) and halve the
+    per-tile program count of the Pallas kernel — the inference renderer
+    uses 32x16."""
+    ty = tile if tile_y is None else tile_y
+    return (width + tile - 1) // tile, (height + ty - 1) // ty
 
 
-def gaussian_rects(means2d, radii, width, height, tile: int = TILE):
+def gaussian_rects(means2d, radii, width, height, tile: int = TILE,
+                   tile_y: int = None):
     """Clamped tile rect per Gaussian (reference `getRect`,
     `cuda_rasterizer/auxiliary.h`)."""
-    grid_x, grid_y = tile_grid(width, height, tile)
+    ty = tile if tile_y is None else tile_y
+    grid_x, grid_y = tile_grid(width, height, tile, ty)
     r = radii.astype(jnp.float32)
     min_x = jnp.clip(((means2d[:, 0] - r) / tile).astype(jnp.int32), 0, grid_x)
     max_x = jnp.clip(((means2d[:, 0] + r + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
-    min_y = jnp.clip(((means2d[:, 1] - r) / tile).astype(jnp.int32), 0, grid_y)
-    max_y = jnp.clip(((means2d[:, 1] + r + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
+    min_y = jnp.clip(((means2d[:, 1] - r) / ty).astype(jnp.int32), 0, grid_y)
+    max_y = jnp.clip(((means2d[:, 1] + r + ty - 1) / ty).astype(jnp.int32), 0, grid_y)
     return min_x, max_x, min_y, max_y
 
 
@@ -76,15 +84,18 @@ def _expand_by_offsets(col, offsets, max_pairs: int):
     return jnp.cumsum(buf)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "max_pairs", "tile"))
+@partial(jax.jit, static_argnames=("width", "height", "max_pairs", "tile",
+                                   "tile_y"))
 def bin_gaussians(means2d, depths, radii, width: int, height: int,
-                  max_pairs: int, tile: int = TILE) -> Binning:
+                  max_pairs: int, tile: int = TILE,
+                  tile_y: int = None) -> Binning:
     P = means2d.shape[0]
-    grid_x, grid_y = tile_grid(width, height, tile)
+    grid_x, grid_y = tile_grid(width, height, tile, tile_y)
     num_tiles = grid_x * grid_y
     _, depth_bits = _key_bits(num_tiles)
 
-    min_x, max_x, min_y, max_y = gaussian_rects(means2d, radii, width, height, tile)
+    min_x, max_x, min_y, max_y = gaussian_rects(means2d, radii, width,
+                                                height, tile, tile_y)
     rect_w = max_x - min_x
     touched = jnp.where(radii > 0, rect_w * (max_y - min_y), 0)
 

@@ -105,7 +105,7 @@ def pack_fields(means2d, depths, conics, colors, opacities,
 
 
 def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
-                mm_precision, compute_n_contrib,
+                mm_precision, compute_n_contrib, tile_x, tile_y,
                 # scalar prefetch
                 starts_ref, counts_ref,
                 # inputs
@@ -125,11 +125,12 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
         count > 0,
         jnp.minimum((head + count + CHUNK - 1) // CHUNK, max_chunks), 0)
 
+    pix = tile_x * tile_y
     # tile-local pixel coordinates come in as a precomputed constant (host
-    # iota+mod on (256,1) sublane vectors has shown Mosaic lowering issues)
-    txf = ((t % grid_x) * TILE).astype(jnp.float32)
-    tyf = ((t // grid_x) * TILE).astype(jnp.float32)
-    px = pix_ref[:, 0:1]                               # (256, 1) tile-local
+    # iota+mod on (pix,1) sublane vectors has shown Mosaic lowering issues)
+    txf = ((t % grid_x) * tile_x).astype(jnp.float32)
+    tyf = ((t // grid_x) * tile_y).astype(jnp.float32)
+    px = pix_ref[:, 0:1]                               # (pix, 1) tile-local
     py = pix_ref[:, 1:2]
 
     blk0 = start // CHUNK   # first chunk block (chunk-major pair layout)
@@ -262,10 +263,10 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
         return k < n_chunks
 
     init = (jnp.asarray(0, jnp.int32),
-            jnp.zeros((PIX, 1), jnp.float32),
-            jnp.zeros((PIX, 1), jnp.float32),
-            jnp.zeros((PIX, 8), jnp.float32),
-            jnp.zeros((PIX, 1), jnp.float32),
+            jnp.zeros((pix, 1), jnp.float32),
+            jnp.zeros((pix, 1), jnp.float32),
+            jnp.zeros((pix, 8), jnp.float32),
+            jnp.zeros((pix, 1), jnp.float32),
             jnp.asarray(0, jnp.int32))
     k, log_t, done, accum, n_contrib, _ = jax.lax.while_loop(cond, body,
                                                              init)
@@ -279,37 +280,42 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
             dma((k + j) % 4, k + j).wait()
 
     # background composite on the color channels
-    t_final = jnp.exp(log_t)                            # (256, 1)
+    t_final = jnp.exp(log_t)                            # (pix, 1)
     bg = bg_ref[0:1, :]                                 # (1, 8); zeros past C
-    color = accum + t_final * bg                        # (256, 8)
+    color = accum + t_final * bg                        # (pix, 8)
     # single full-block write: [blend(8), log_t, n_contrib, zeros(6)]
     out_ref[0] = jnp.concatenate(
-        [color, log_t, n_contrib, jnp.zeros((PIX, 6), jnp.float32)], axis=1)
+        [color, log_t, n_contrib, jnp.zeros((pix, 6), jnp.float32)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "max_pairs",
                                              "n_payload", "max_chunks",
                                              "early_exit", "mm_precision",
-                                             "compute_n_contrib"))
+                                             "compute_n_contrib",
+                                             "tile_x", "tile_y"))
 def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
                              background, width: int, height: int,
                              max_pairs: int, n_payload: int,
                              max_chunks: int = 1 << 22,
                              early_exit: bool = True,
                              mm_precision=jax.lax.Precision.HIGHEST,
-                             compute_n_contrib: bool = True):
+                             compute_n_contrib: bool = True,
+                             tile_x: int = TILE, tile_y: int = TILE):
     """pair_data: (NC, 16, CHUNK) chunk-major (see pack_fields); returns
-    (num_tiles, 256, 16) with columns [blend(8) incl bg-composited colors,
-    log_t, n_contrib, 0...]."""
-    grid_x, grid_y = tile_grid(width, height, TILE)
+    (num_tiles, pix, 16) with columns [blend(8) incl bg-composited colors,
+    log_t, n_contrib, 0...]. Rectangular tiles (tile_x, tile_y) must match
+    the binning; the inference renderer uses 32x16 (fewer pairs + half the
+    per-tile program overhead), training stays at the tested 16x16."""
+    grid_x, grid_y = tile_grid(width, height, tile_x, tile_y)
     num_tiles = grid_x * grid_y
+    pix = tile_x * tile_y
 
     bg = jnp.zeros((1, 8), jnp.float32)
     bg = bg.at[0, :background.shape[0]].set(background)
 
     kernel = functools.partial(_fwd_kernel, num_tiles, grid_x, max_chunks,
                                n_payload, early_exit, mm_precision,
-                               compute_n_contrib)
+                               compute_n_contrib, tile_x, tile_y)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -318,7 +324,7 @@ def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bg
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tile-local pixel xy
         ],
-        out_specs=pl.BlockSpec((1, PIX, 16), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, pix, 16), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             # slots 0-3: interior rotation (distance-3 prefetch);
@@ -330,26 +336,28 @@ def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, pix, 16), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(tile_starts, tile_counts, pair_data, bg, tile_pixel_coords())
+    )(tile_starts, tile_counts, pair_data, bg,
+      tile_pixel_coords(tile_x, tile_y))
     return out
 
 
-def tile_pixel_coords() -> jnp.ndarray:
-    """(256, 2) tile-local pixel (x, y) at integer centers, row-major."""
-    p = jnp.arange(PIX, dtype=jnp.int32)
-    return jnp.stack([(p % TILE).astype(jnp.float32),
-                      (p // TILE).astype(jnp.float32)], axis=1)
+def tile_pixel_coords(tile_x: int = TILE, tile_y: int = TILE) -> jnp.ndarray:
+    """(pix, 2) tile-local pixel (x, y) at integer centers, row-major."""
+    p = jnp.arange(tile_x * tile_y, dtype=jnp.int32)
+    return jnp.stack([(p % tile_x).astype(jnp.float32),
+                      (p // tile_x).astype(jnp.float32)], axis=1)
 
 
-def unpack_tiles(out, width: int, height: int, channels: int):
-    """(num_tiles, 256, 16) → dict of image-shaped outputs."""
-    grid_x, grid_y = tile_grid(width, height, TILE)
-    img = out.reshape(grid_y, grid_x, TILE, TILE, 16)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE,
-                                               16)
+def unpack_tiles(out, width: int, height: int, channels: int,
+                 tile_x: int = TILE, tile_y: int = TILE):
+    """(num_tiles, pix, 16) → dict of image-shaped outputs."""
+    grid_x, grid_y = tile_grid(width, height, tile_x, tile_y)
+    img = out.reshape(grid_y, grid_x, tile_y, tile_x, 16)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(grid_y * tile_y,
+                                               grid_x * tile_x, 16)
     img = img[:height, :width]
     C = channels
     return {

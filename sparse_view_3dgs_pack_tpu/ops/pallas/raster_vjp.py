@@ -35,7 +35,8 @@ def _tile_pack(img, width, height, channels):
 
 @functools.lru_cache(maxsize=None)
 def make_pallas_rasterizer(width: int, height: int, channels: int,
-                           inference: bool = False):
+                           inference: bool = False,
+                           tile_x: int = TILE, tile_y: int = TILE):
     """Differentiable rasterizer closure for one image size.
 
     inference=True returns a NON-differentiable variant that skips the
@@ -43,8 +44,15 @@ def make_pallas_rasterizer(width: int, height: int, channels: int,
     transmittance-cumsum / blend matmuls at DEFAULT (single-pass bf16)
     precision — their inputs (log1p(-α) ∈ [-7, 0], colors ∈ [0, 1]) are
     insensitive, unlike the quadratic form, which stays exact elementwise
-    in both variants."""
+    in both variants.
+
+    tile_x/tile_y select the kernel tile shape and MUST match the binning
+    that produced ids/starts/counts. Only the inference variant may deviate
+    from 16x16 (the backward kernel is 16x16 only)."""
     C = channels
+    if not inference:
+        assert (tile_x, tile_y) == (TILE, TILE), \
+            "training rasterizer supports 16x16 tiles only"
 
     def fwd_impl(means2d, depths, conics, colors, opacities, ids, starts,
                  counts, bg):
@@ -53,8 +61,9 @@ def make_pallas_rasterizer(width: int, height: int, channels: int,
             pd, starts, counts, bg, width, height, ids.shape[0], C + 2,
             mm_precision=(jax.lax.Precision.DEFAULT if inference
                           else jax.lax.Precision.HIGHEST),
-            compute_n_contrib=not inference)
-        u = unpack_tiles(raw, width, height, C)
+            compute_n_contrib=not inference,
+            tile_x=tile_x, tile_y=tile_y)
+        u = unpack_tiles(raw, width, height, C, tile_x, tile_y)
         outs = (u["color"], u["invdepth"], u["depth"],
                 1.0 - jnp.exp(u["log_t"]))
         return outs, raw, pd

@@ -186,3 +186,13 @@ def project_gaussians(
         colors=colors,
         opacities=jnp.where(valid, opacities * h_scale, 0.0),
     )
+
+
+def mark_visible(means3d, viewmat):
+    """Frustum-culling visibility mask — the debug utility the reference
+    exposes as `GaussianRasterizer.markVisible`
+    (`dgr_3dgs/__init__.py:163-172` → `auxiliary.h in_frustum`): a point is
+    visible when its view-space depth exceeds 0.2 (the NDC xy bound is
+    disabled upstream, and `prefiltered` is never used)."""
+    p_view = means3d @ viewmat[:3, :3].T + viewmat[:3, 3]
+    return p_view[:, 2] > 0.2

@@ -116,6 +116,7 @@ def test_pallas_gradients_match_oracle():
         assert np.abs(ga).max() > 0, f"zero grads for {name}"
 
 
+@pytest.mark.timeout(600)
 def test_pallas_multichunk_carries():
     proj = _proj(n=600, seed=2, concentrate=True)
     bg = jnp.zeros(3)
@@ -178,3 +179,30 @@ def test_pallas_sticky_early_stop():
         # the old bug produced ~1e5 relative errors here
         np.testing.assert_allclose(ga, rga, atol=2e-3 * scale, rtol=5e-2,
                                    err_msg=name)
+
+
+def test_pallas_inference_32x16_matches_oracle():
+    """The 32x16-tile INFERENCE forward (fewer pairs, half the programs —
+    used by render/eval/bench) must match the dense oracle like the 16x16
+    training kernel does."""
+    proj = _proj(n=220, seed=3)
+    bg = jnp.array([0.25, 0.1, 0.4])
+    ba = bin_gaussians(proj.means2d, proj.depths, proj.radii, W, H,
+                       1 << 13, tile=32, tile_y=16)
+    fn = make_pallas_rasterizer(W, H, 3, inference=True, tile_x=32,
+                                tile_y=16)
+    with pltpu.force_tpu_interpret_mode():
+        color, invd, depth, alpha = fn(
+            proj.means2d, proj.depths, proj.conics, proj.colors,
+            proj.opacities, ba.ids, ba.tile_starts, ba.tile_counts, bg)
+    from sparse_view_3dgs_pack_tpu.ops.rasterize_ref import rasterize_dense
+    ref = rasterize_dense(proj, W, H, bg)
+    # inference tolerances: bf16 single-pass blend + non-sticky cutoff
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha),
+                               atol=5e-3)
+    # 32x16 binning produces strictly fewer or equal pairs than 16x16
+    ba16 = bin_gaussians(proj.means2d, proj.depths, proj.radii, W, H,
+                         1 << 13)
+    assert int(ba.total_pairs) <= int(ba16.total_pairs)

@@ -224,3 +224,23 @@ def test_optimize_single_gaussian_position():
         upd, state = opt.update(gfn(x), state)
         x = optax.apply_updates(x, upd)
     assert float(loss(x)) < 0.05 * l0
+
+
+def test_mark_visible_frustum():
+    """`mark_visible` == reference `markVisible`/`in_frustum`: view-space
+    z > 0.2 (`auxiliary.h:151-167`; xy NDC bound disabled upstream)."""
+    import numpy as np
+
+    from sparse_view_3dgs_pack_tpu.ops.projection import mark_visible
+    from sparse_view_3dgs_pack_tpu.testing import make_orbit_cameras
+
+    cam = make_orbit_cameras(1, radius=3.0, width=32, height_px=32)[0]
+    p = cam.params()
+    viewmat = np.asarray(p.viewmat)
+    pts = np.array([[0.0, 0.0, 0.0],      # scene center: in front
+                    [6.0, 0.0, 1.2],      # behind the camera
+                    [100.0, 100.0, 100.0]], np.float32)   # far off-axis
+    vis = np.asarray(mark_visible(pts, viewmat))
+    pv = pts @ viewmat[:3, :3].T + viewmat[:3, 3]
+    np.testing.assert_array_equal(vis, pv[:, 2] > 0.2)
+    assert vis[0] and not vis[1]
