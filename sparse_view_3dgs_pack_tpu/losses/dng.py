@@ -24,12 +24,29 @@ def patchify(x, patch_size: int):
     return x.transpose(0, 2, 1, 3).reshape(ny * nx, patch_size * patch_size)
 
 
+def _safe_std(sq_dev_mean):
+    """sqrt with a variance floor: `std = sqrt(var)` has a NaN gradient at
+    exactly-constant input (sqrt'(0)·0), which a rendered depth map hits on
+    empty/constant patches; sqrt(var + eps²) is smooth and ≥ eps."""
+    return jnp.sqrt(sq_dev_mean + 1e-12)
+
+
 def normalize_patches(p, std=None, eps_scale: float = 1e-2):
     """Standardise each row; reference `normalize` adds 1e-2·global-std to the
-    denominator for stability."""
+    denominator for stability. Constant patches (zero variance — e.g. the
+    zero placeholder map when no depth prior exists, or an empty region of a
+    rendered depth) are handled with a smooth variance floor: the reference
+    divides by exact zero there (its real DPT maps are never constant)."""
+    n = p.shape[1]
     mean = p.mean(axis=1, keepdims=True)
-    row_std = p.std(axis=1, keepdims=True, ddof=1) if std is None else std
-    global_std = p.reshape(-1).std(ddof=1)
+    if std is None:
+        var = ((p - mean) ** 2).sum(axis=1, keepdims=True) / (n - 1)
+        row_std = _safe_std(var)
+    else:
+        row_std = std
+    gmean = p.mean()
+    gvar = ((p - gmean) ** 2).sum() / (p.size - 1)
+    global_std = _safe_std(gvar)
     return (p - mean) / (row_std + eps_scale * global_std)
 
 
@@ -55,8 +72,8 @@ def patch_norm_mse_loss(pred, gt, patch_size: int, margin: float):
 def patch_norm_mse_loss_global(pred, gt, patch_size: int, margin: float):
     """'Global' variant: whole-map std (detached in the reference)."""
     import jax
-    ps = jax.lax.stop_gradient(pred.reshape(-1).std(ddof=1))
-    gs = jax.lax.stop_gradient(gt.reshape(-1).std(ddof=1))
+    ps = jax.lax.stop_gradient(_safe_std(pred.reshape(-1).var(ddof=1)))
+    gs = jax.lax.stop_gradient(_safe_std(gt.reshape(-1).var(ddof=1)))
     return margin_l2_loss(
         normalize_patches(patchify(pred, patch_size), std=ps),
         normalize_patches(patchify(gt, patch_size), std=gs),

@@ -1,0 +1,126 @@
+"""Shared capacity / pair-bucket management for ALL training loops.
+
+The reference resizes parameter and optimizer tensors exactly on every
+densify event (`LGDWT-GS/scene/gaussian_model.py:316-407`), so nothing is
+ever silently dropped. Under XLA all shapes are static; this module is the
+padded-capacity equivalent, shared by the 3dgs/lgdwt `Trainer`, the FSGS,
+DNGaussian, and NIR loops:
+
+* doubling parameter-capacity growth with zero-padded Adam moments,
+* loud warnings + immediate growth when a densify event dropped appends,
+* a grow/shrink controller for the rasterizer pair bucket (overflow drops
+  tail pairs — subtly wrong renders — so it must be detected and grown).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models import gaussians as gm
+
+GROW_FRACTION = 0.85        # grow when alive exceeds this share of capacity
+PAIR_HARD_CAP = 1 << 23     # beyond this, transient blow-ups drop tail pairs
+PAIR_SHRINK_STREAK = 5      # consecutive oversize checks before shrinking
+
+
+def pad_moment(a, target):
+    """Zero-pad one Adam moment along axis 0 to a freshly-grown capacity."""
+    if a.shape == target.shape:
+        return a
+    pads = [(0, target.shape[0] - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pads)
+
+
+def pad_adam(adam, params):
+    """Adam moments survive a capacity grow, zero-padded to match."""
+    return adam._replace(
+        m={k: pad_moment(a, params[k]) for k, a in adam.m.items()},
+        v={k: pad_moment(a, params[k]) for k, a in adam.v.items()})
+
+
+def grow_state(state, adam, quiet=False):
+    """Double parameter capacity and pad the optimizer state to match."""
+    state = gm.grow_capacity(state, state.capacity * 2)
+    adam = pad_adam(adam, state.params)
+    if not quiet:
+        print(f"[capacity] grown to {state.capacity}")
+    return state, adam
+
+
+def ensure_headroom(state, adam, quiet=False):
+    """Grow when the alive count is close to capacity.
+
+    Returns (state, adam, grew). Call before each densify event so the
+    event has room for its appends (reference semantics: exact realloc,
+    `gaussian_model.py:316-407`).
+    """
+    if int(state.n_alive) > GROW_FRACTION * state.capacity:
+        state, adam = grow_state(state, adam, quiet=quiet)
+        return state, adam, True
+    return state, adam, False
+
+
+def dropped_appends(res, it, capacity, quiet=False) -> bool:
+    """True when a densify event dropped appends at capacity.
+
+    The caller must grow immediately — silence here is the failure mode the
+    reference cannot have (it reallocates exactly per event).
+    """
+    req, app = int(res.requested), int(res.appended)
+    if req <= app:
+        return False
+    if not quiet:
+        print(f"[densify] WARNING iter {it}: {req - app} of {req} appends "
+              f"dropped at capacity {capacity}; growing now")
+    return True
+
+
+class PairBucket:
+    """Host-side controller for the rasterizer's max_pairs bucket.
+
+    Grows on overflow (with 30% headroom, rounded to a power of two, capped
+    at PAIR_HARD_CAP) and shrinks after PAIR_SHRINK_STREAK consecutive
+    checks with 3x headroom — every binning/pack cost scales with the
+    bucket, so both directions matter. `update(n_pairs)` returns the new
+    max_pairs when the caller must rebuild its raster config, else None.
+    """
+
+    def __init__(self, max_pairs: int, hard_cap: int = PAIR_HARD_CAP,
+                 quiet: bool = False):
+        self.max_pairs = int(max_pairs)
+        self.hard_cap = hard_cap
+        self.quiet = quiet
+        self._shrink_streak = 0
+
+    def update(self, n_pairs: int):
+        if n_pairs > self.max_pairs:
+            self._shrink_streak = 0
+            new = self.max_pairs
+            while new < n_pairs * 1.3:
+                new *= 2
+            if new > self.hard_cap:
+                # transient exploding gaussians can touch every tile
+                # (pairs ≈ P·num_tiles); beyond the cap the farthest-tile
+                # tail drops for a few iterations instead of risking OOM,
+                # and size screening prunes the offenders soon after
+                print(f"[raster] WARNING: pair demand {n_pairs} exceeds "
+                      f"the {self.hard_cap} bucket cap; tail pairs drop "
+                      "until oversized gaussians are pruned")
+                new = self.hard_cap
+            if new == self.max_pairs:
+                return None
+            self.max_pairs = new
+            if not self.quiet:
+                print(f"[raster] pair bucket grown to {new}")
+            return new
+        if n_pairs * 3 < self.max_pairs and self.max_pairs > (1 << 16):
+            self._shrink_streak += 1
+            if self._shrink_streak >= PAIR_SHRINK_STREAK:
+                self.max_pairs //= 2
+                self._shrink_streak = 0
+                if not self.quiet:
+                    print(f"[raster] pair bucket shrunk to {self.max_pairs}")
+                return self.max_pairs
+        else:
+            self._shrink_streak = 0
+        return None

@@ -41,6 +41,7 @@ from ..ops.rasterize_tiles import RasterConfig
 from ..renderer import default_raster_config, render_core
 from ..scene import Scene
 from ..utils.pose_utils import generate_spiral_path
+from . import capacity
 from .densify import (add_densification_stats, densify_and_prune, prune_only)
 from .optim import (adam_update, init_adam, init_tree_adam,
                     make_lr_schedules, tree_adam_update)
@@ -261,13 +262,18 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
 
     white = dataset.white_background or dataset_type == "blender"
     bg = jnp.asarray([1, 1, 1] if white else [0, 0, 0], jnp.float32)
-    raster_cfg = default_raster_config(state.capacity, W, H)
+    raster_cfg = default_raster_config(state.capacity, W, H,
+                                       getattr(pipe, "max_pairs", 0),
+                                       getattr(pipe, "max_per_tile", 0),
+                                       getattr(pipe, "tile_batch", 64))
+    pair_bucket = capacity.PairBucket(raster_cfg.max_pairs)
     spiral_cams = generate_spiral_path(cams, n_frames=120)
 
     active_sh = 0
     viewpoint_stack = []
     t0 = time.time()
     save_iters = set(args.save_iterations)
+    check_pairs_next = False
 
     for it in range(1, opt.iterations + 1):
         if it % 1000 == 0 and active_sh < dataset.sh_degree:
@@ -296,14 +302,30 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
             jnp.asarray(patch_idx, jnp.int32), lrs, neural_lrs,
             jnp.asarray(active_sh, jnp.int32), bg, cfg)
 
+        densified = False
         if (it < opt.densify_until_iter and it > opt.densify_from_iter
                 and it % opt.densification_interval == 0):
+            state, adam, grew = capacity.ensure_headroom(state, adam)
+            if grew:
+                raster_cfg = default_raster_config(
+                    state.capacity, W, H, pair_bucket.max_pairs,
+                    getattr(pipe, "max_per_tile", 0),
+                    getattr(pipe, "tile_batch", 64))
+                pair_bucket.max_pairs = raster_cfg.max_pairs
             res = densify_and_prune(state, adam, jax.random.PRNGKey(it),
                                     opt.densify_grad_threshold,
                                     getattr(opt, "prune_threshold", 0.01),
                                     scene.cameras_extent, max_screen_size=0,
                                     percent_dense=opt.percent_dense)
             state, adam = res.state, res.opt_state
+            densified = True
+            if capacity.dropped_appends(res, it, state.capacity):
+                state, adam = capacity.grow_state(state, adam)
+                raster_cfg = default_raster_config(
+                    state.capacity, W, H, pair_bucket.max_pairs,
+                    getattr(pipe, "max_per_tile", 0),
+                    getattr(pipe, "tile_batch", 64))
+                pair_bucket.max_pairs = raster_cfg.max_pairs
 
         if near_range > 0 and it > 2000 and (it - 1) % 25 == 0:
             centers = jnp.asarray(np.stack(
@@ -313,6 +335,18 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
                                 axis=-1)
             mask = (d < near_range).any(axis=1) & state.alive
             state, adam = prune_only(state, adam, mask)
+
+        # pair-bucket overflow drops tail pairs; check on the logging
+        # cadence and right after densify events (the only jump moments)
+        if check_pairs_next or it % 10 == 0:
+            new_pairs = pair_bucket.update(int(metrics["n_pairs"]))
+            if new_pairs is not None:
+                raster_cfg = default_raster_config(
+                    state.capacity, W, H, new_pairs,
+                    getattr(pipe, "max_per_tile", 0),
+                    getattr(pipe, "tile_batch", 64))
+                pair_bucket.max_pairs = raster_cfg.max_pairs
+        check_pairs_next = densified
 
         if it % 100 == 0:
             print(f"[{it}/{opt.iterations}] loss="

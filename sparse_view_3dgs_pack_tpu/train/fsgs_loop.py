@@ -34,18 +34,11 @@ from ..scene import Scene
 from ..utils.general import get_expon_lr_func
 from ..utils.pose_utils import (generate_random_poses_360,
                                 generate_random_poses_llff)
+from . import capacity
 from .densify import (add_densification_stats, densify_and_prune,
                       proximity_densify, reset_opacity)
 from .optim import init_adam, make_lr_schedules, adam_update
 from .step import CameraBank, sh_band_mask
-
-
-def _pad_like(a, target):
-    """Zero-pad an Adam moment to a freshly-grown capacity."""
-    if a.shape == target.shape:
-        return a
-    pads = [(0, target.shape[0] - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-    return jnp.pad(a, pads)
 
 
 class FSGSConfig(NamedTuple):
@@ -244,6 +237,16 @@ def train_fsgs(dataset, opt, pipe, args):
                      use_pallas=jax.default_backend() not in ("cpu",),
                      use_confidence=bool(getattr(pipe, "use_confidence",
                                                  False)))
+    pair_bucket = capacity.PairBucket(raster_cfg.max_pairs)
+
+    def rebuild_cfg():
+        nonlocal raster_cfg, cfg
+        raster_cfg = default_raster_config(state.capacity, W, H,
+                                           pair_bucket.max_pairs,
+                                           getattr(pipe, "max_per_tile", 0),
+                                           getattr(pipe, "tile_batch", 64))
+        pair_bucket.max_pairs = raster_cfg.max_pairs
+        cfg = cfg._replace(raster=raster_cfg)
     # per-Gaussian confidence: ones, carried across densification like the
     # reference (`gaussian_model.py:158,351,402` keeps it all-ones)
     confidence = jnp.ones((state.capacity,), jnp.float32)
@@ -258,6 +261,7 @@ def train_fsgs(dataset, opt, pipe, args):
     depth_weight = float(opt.depth_weight)
     active_sh = 0
     viewpoint_stack = []
+    check_pairs_next = False
     t0 = time.time()
     save_iters = set(args.save_iterations)
 
@@ -321,16 +325,13 @@ def train_fsgs(dataset, opt, pipe, args):
         # clone → split(+dist mask) → proximity until iter 2000 → prune;
         # here the prune happens inside densify_and_prune before proximity —
         # a one-event ordering deviation on the appended midpoints)
+        densified = False
         if it < opt.densify_until_iter:
             if (it > opt.densify_from_iter
                     and it % opt.densification_interval == 0):
-                if int(state.n_alive) > 0.85 * state.capacity:
-                    state = gm.grow_capacity(state, state.capacity * 2)
-                    adam = adam._replace(
-                        m={k: _pad_like(a, state.params[k])
-                           for k, a in adam.m.items()},
-                        v={k: _pad_like(a, state.params[k])
-                           for k, a in adam.v.items()})
+                state, adam, grew = capacity.ensure_headroom(state, adam)
+                if grew:
+                    rebuild_cfg()
                 prox_mask, nn_idx, extra_split = fsgs_densify_masks(
                     state, scene.cameras_extent,
                     jnp.asarray(getattr(opt, "dist_thres", 10.0)))
@@ -341,6 +342,10 @@ def train_fsgs(dataset, opt, pipe, args):
                                         percent_dense=opt.percent_dense,
                                         extra_split_mask=extra_split)
                 state, adam = res.state, res.opt_state
+                densified = True
+                if capacity.dropped_appends(res, it, state.capacity):
+                    state, adam = capacity.grow_state(state, adam)
+                    rebuild_cfg()
                 if it < getattr(opt, "proximity_until_iter", 2000):
                     # recompute on the post-prune state (compaction moved
                     # slots, so the pre-densify indices are stale)
@@ -349,10 +354,20 @@ def train_fsgs(dataset, opt, pipe, args):
                         jnp.asarray(getattr(opt, "dist_thres", 10.0)))
                     pres = proximity_densify(state, adam, nn_idx, prox_mask)
                     state, adam = pres.state, pres.opt_state
+                    if capacity.dropped_appends(pres, it, state.capacity):
+                        state, adam = capacity.grow_state(state, adam)
+                        rebuild_cfg()
             if (it > opt.start_sample_pseudo
                     and (it - opt.start_sample_pseudo - 1)
                     % opt.opacity_reset_interval == 0):
                 state, adam = reset_opacity(state, adam)
+
+        # pair-bucket overflow drops tail pairs; check on the logging
+        # cadence and right after densify events (the only jump moments)
+        if check_pairs_next or it % 10 == 0:
+            if pair_bucket.update(int(metrics["n_pairs"])) is not None:
+                rebuild_cfg()
+        check_pairs_next = densified
 
         if it % 100 == 0:
             print(f"[{it}/{opt.iterations}] loss="

@@ -28,6 +28,7 @@ from ..losses.dwt import (compute_elf_map, compute_patch_dwt_loss,
 from ..ops.rasterize_tiles import RasterConfig
 from ..renderer import default_raster_config, render_core
 from ..scene import Scene
+from . import capacity
 from .densify import add_densification_stats, densify_and_prune, reset_opacity
 from .optim import adam_update, init_adam, make_lr_schedules
 from .step import CameraBank, StepConfig, sh_band_mask, _DWT_KEYS
@@ -135,10 +136,22 @@ def train_nir(dataset, opt, pipe, args):
         patch_dwt_lh1_weight=opt.patch_dwt_lh1_weight,
         patch_dwt_hl1_weight=opt.patch_dwt_hl1_weight)
     cfg = NIRConfig(base=base, nir_weight=getattr(args, "nir_weight", 0.5))
+    pair_bucket = capacity.PairBucket(raster_cfg.max_pairs)
+
+    def rebuild_cfg():
+        nonlocal raster_cfg, base, cfg
+        raster_cfg = default_raster_config(state.capacity, W, H,
+                                           pair_bucket.max_pairs,
+                                           getattr(pipe, "max_per_tile", 0),
+                                           getattr(pipe, "tile_batch", 64))
+        pair_bucket.max_pairs = raster_cfg.max_pairs
+        base = base._replace(raster=raster_cfg)
+        cfg = cfg._replace(base=base)
 
     carry = jnp.ones(())
     active_sh = 0
     viewpoint_stack = []
+    check_pairs_next = False
     save_iters = set(args.save_iterations)
     t0 = time.time()
 
@@ -155,9 +168,13 @@ def train_nir(dataset, opt, pipe, args):
             state, adam, carry, bank, jnp.asarray(cam_idx, jnp.int32), lrs,
             jnp.asarray(active_sh, jnp.int32), bg, cfg)
 
+        densified = False
         if it < opt.densify_until_iter:
             if (it > opt.densify_from_iter
                     and it % opt.densification_interval == 0):
+                state, adam, grew = capacity.ensure_headroom(state, adam)
+                if grew:
+                    rebuild_cfg()
                 res = densify_and_prune(state, adam, jax.random.PRNGKey(it),
                                         opt.densify_grad_threshold, 0.005,
                                         scene.cameras_extent,
@@ -166,8 +183,19 @@ def train_nir(dataset, opt, pipe, args):
                                             else 0),
                                         percent_dense=opt.percent_dense)
                 state, adam = res.state, res.opt_state
+                densified = True
+                if capacity.dropped_appends(res, it, state.capacity):
+                    state, adam = capacity.grow_state(state, adam)
+                    rebuild_cfg()
             if it % opt.opacity_reset_interval == 0:
                 state, adam = reset_opacity(state, adam)
+
+        # pair-bucket overflow drops tail pairs; check on the logging
+        # cadence and right after densify events (the only jump moments)
+        if check_pairs_next or it % 10 == 0:
+            if pair_bucket.update(int(metrics["n_pairs"])) is not None:
+                rebuild_cfg()
+        check_pairs_next = densified
 
         if it % 100 == 0:
             print(f"[{it}/{opt.iterations}] loss="

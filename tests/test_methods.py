@@ -295,3 +295,87 @@ def test_dng_step_sh_fallback():
     # neural field untouched in the SH path
     for a, b in zip(jax.tree.leaves(nparams), jax.tree.leaves(np0)):
         np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_dng_step_dtu_masked_loss():
+    """DTU variant: the photometric loss is computed on masked image AND
+    masked gt (reference `train_dtu.py:84-105`) — pixels outside the mask
+    must not influence the loss at all."""
+    from sparse_view_3dgs_pack_tpu.models.neural_field import (
+        NeuralFieldConfig, init_neural_field)
+    from sparse_view_3dgs_pack_tpu.ops.hashgrid import HashGridConfig
+    from sparse_view_3dgs_pack_tpu.train.dng_loop import (DNGConfig, dng_step,
+                                                          neural_lr_tree)
+    from sparse_view_3dgs_pack_tpu.train.optim import (init_adam,
+                                                       init_tree_adam)
+    from sparse_view_3dgs_pack_tpu.train.step import CameraBank
+
+    W, H = 48, 32
+    rng = np.random.default_rng(0)
+
+    def build(gt_noise_in_masked_region):
+        state, _, cams = _state_and_bank(with_depth=True)
+        for c in cams:
+            mask = np.ones((H, W), np.float32)
+            mask[:, W // 2:] = 0.0           # right half excluded
+            c.alpha_mask = mask
+            if gt_noise_in_masked_region:
+                img = c.image.copy()
+                img[:, W // 2:] = rng.random((H, W - W // 2, 3))
+                c.image = img
+        return state, CameraBank.from_cameras(cams)
+
+    ncfg = NeuralFieldConfig(grid=HashGridConfig(num_levels=4,
+                                                 log2_hashmap_size=10,
+                                                 desired_resolution=64))
+    nparams = init_neural_field(jax.random.PRNGKey(0), ncfg)
+    nadam = init_tree_adam(nparams)
+    nlrs = neural_lr_tree(nparams, 5e-3, 5e-4)
+    cfg = DNGConfig(width=W, height=H, sh_degree=2, raster=CFG,
+                    neural=ncfg, use_mask=True)
+    lrs = {k: jnp.asarray(0.0) for k in _state_and_bank()[0].params}
+
+    losses = []
+    for noisy in (False, True):
+        state, bank = build(noisy)
+        _, _, _, _, m = dng_step(
+            state, nparams, init_adam(state.params), nadam, bank,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), lrs, nlrs,
+            jnp.asarray(1, jnp.int32), jnp.zeros(3), cfg)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    # changing gt ONLY inside the masked-out region leaves the loss intact
+    assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+
+
+def test_dng_e2e_blender_and_dtu_variants(tmp_path):
+    """`train_dngaussian(dataset_type=...)` end-to-end on a tiny scene:
+    'blender' renders on a white background (`train_blender.py`), 'dtu'
+    applies the masked loss (`train_dtu.py`). Smoke + semantics."""
+    from test_train_e2e import _Args, _Opt, _Pipe, _write_scene
+    from sparse_view_3dgs_pack_tpu.train.dng_loop import train_dngaussian
+
+    scene_dir = _write_scene(str(tmp_path / "scene"))
+    for dtype in ("blender", "dtu"):
+        args = _Args()
+        args.source_path = scene_dir
+        args.model_path = str(tmp_path / f"dng_{dtype}")
+        args.save_iterations = []
+        args.depth_estimator = "none"
+        os.makedirs(args.model_path, exist_ok=True)
+        opt = _Opt()
+        opt.iterations = 8
+        opt.densify_from_iter = 100           # no densify in 8 iters
+        opt.error_tolerance = 0.2
+        opt.shape_pena = 0.001
+        opt.scale_pena = 0.001
+        opt.opa_pena = 0.01
+        opt.soft_depth_start = 1000
+        opt.hard_depth_start = 0
+        opt.prune_threshold = 0.01
+        opt.use_neural = 1
+        scene = train_dngaussian(args, opt, _Pipe(), args,
+                                 dataset_type=dtype)
+        xyz = np.asarray(
+            scene.gaussians.params["xyz"][:int(scene.gaussians.n_alive)])
+        assert np.isfinite(xyz).all()
