@@ -142,3 +142,70 @@ def write_blender_scene(root, n_train=4, n_test=2, width=64, seed=0):
             json.dump({"camera_angle_x": math.radians(50),
                        "frames": frames(split, n)}, f)
     return root
+
+
+class _NS:
+    """Attribute bag for synthetic opt/pipe/args objects."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def make_dryrun_opt(**overrides):
+    """Full LGDWT optimization params on tiny schedules, for mesh dryruns
+    and tests that drive `Trainer` without the CLI."""
+    opt = _NS(
+        iterations=4, position_lr_init=0.0016, position_lr_final=0.000016,
+        position_lr_delay_mult=0.01, position_lr_max_steps=30000,
+        feature_lr=0.025, opacity_lr=0.05, scaling_lr=0.01,
+        rotation_lr=0.002, exposure_lr_init=0.01, exposure_lr_final=0.001,
+        exposure_lr_delay_steps=0, exposure_lr_delay_mult=0.0,
+        percent_dense=0.01, lambda_dssim=0.2, densification_interval=100,
+        opacity_reset_interval=3000, densify_from_iter=500,
+        densify_until_iter=15000, densify_grad_threshold=0.0002,
+        depth_l1_weight_init=0.0, depth_l1_weight_final=0.0,
+        random_background=False, optimizer_type="default",
+        dwt_enable=True, dwt_ll1_weight=1.0, dwt_lh1_weight=1.0,
+        dwt_hl1_weight=1.0, dwt_hh1_weight=0.0, dwt_ll2_weight=0.0,
+        dwt_lh2_weight=0.0, dwt_hl2_weight=0.0, dwt_hh2_weight=0.0,
+        patch_dwt_enable=True, patch_dwt_weight=0.1, patch_size=32,
+        patch_percentile=0.2, patch_dwt_lh1_weight=1.0,
+        patch_dwt_hl1_weight=1.0)
+    opt.__dict__.update(overrides)
+    return opt
+
+
+def make_dryrun_pipe(**overrides):
+    pipe = _NS(convert_SHs_python=False, compute_cov3D_python=False,
+               debug=False, antialiasing=False, use_pallas=False,
+               max_pairs=1 << 12, max_per_tile=128, tile_batch=4)
+    pipe.__dict__.update(overrides)
+    return pipe
+
+
+def make_fake_scene(n_points=128, n_views=4, width=32, height_px=32,
+                    capacity=256, sh_degree=1, seed=0):
+    """An in-memory Scene stand-in (cameras + gaussians + extent) with the
+    attribute surface `Trainer` needs — no files on disk."""
+    from .models import gaussians as gm
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1, 1, (n_points, 3)).astype(np.float32)
+    cols = rng.random((n_points, 3)).astype(np.float32)
+    cams = make_orbit_cameras(n_views, radius=3.5, width=width,
+                              height_px=height_px)
+    for c in cams:
+        c.image = rng.random((height_px, width, 3)).astype(np.float32)
+        c.alpha_mask = np.ones((height_px, width), np.float32)
+
+    scene = _NS(
+        gaussians=gm.create_from_pcd(pts, cols, n_images=n_views,
+                                     sh_degree=sh_degree, capacity=capacity),
+        cameras_extent=3.5,
+        model_path="/tmp/dryrun_scene",
+        args=_NS(sh_degree=sh_degree, white_background=False,
+                 train_test_exp=False, source_path="/tmp/dryrun_scene"),
+    )
+    scene.getTrainCameras = lambda scale=1.0: cams
+    scene.getTestCameras = lambda scale=1.0: []
+    return scene

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..models import gaussians as gm
 from ..renderer import default_raster_config, render
+from . import capacity
 from ..utils.general import get_expon_lr_func
 from ..utils.image import psnr as psnr_fn
 from . import checkpoint as ckpt
@@ -35,17 +36,49 @@ class TrainerEvents:
     on_iteration: list = field(default_factory=list)
 
 
+def resolve_data_parallel(value) -> int:
+    """CLI `--data_parallel`: 'auto' → every visible device, else int."""
+    if value in (None, "", "off"):
+        return 1
+    if isinstance(value, str) and value.lower() == "auto":
+        return len(jax.devices())
+    return max(int(value), 1)
+
+
 class Trainer:
-    """Owns device state + schedules for the 3DGS/LGDWT family."""
+    """Owns device state + schedules for the 3DGS/LGDWT family.
+
+    `data_parallel` > 1 scales out over an ICI mesh (SURVEY §5.8/§7): each
+    step renders `data_parallel` distinct views, one per device, against
+    the replicated Gaussian set, and XLA psums the gradients
+    (`parallel/dp.py`). Densify/opacity-reset events keep running host-side
+    on the replicated state, identically on every replica."""
 
     def __init__(self, scene, opt, pipe, dataset_args, method="lgdwt",
-                 quiet=False):
+                 quiet=False, data_parallel=1):
         self.scene = scene
         self.opt = opt
         self.pipe = pipe
         self.dataset_args = dataset_args
         self.method = method
         self.quiet = quiet
+
+        self.dp_n = resolve_data_parallel(data_parallel)
+        n_dev = len(jax.devices())
+        if self.dp_n > n_dev:
+            print(f"[dp] WARNING: --data_parallel {self.dp_n} > "
+                  f"{n_dev} devices; clamping")
+            self.dp_n = n_dev
+        if self.dp_n > 1:
+            from ..parallel.dp import make_mesh
+            self.mesh = make_mesh(self.dp_n)
+            if not quiet:
+                print(f"[dp] data-parallel over {self.dp_n} devices "
+                      f"({jax.devices()[0].platform})")
+        else:
+            self.mesh = None
+        self._dp_step = None
+        self._dp_clean = False
 
         cams = scene.getTrainCameras()
         self.width = cams[0].width
@@ -77,7 +110,8 @@ class Trainer:
 
         self.viewpoint_stack = []
         self.events = TrainerEvents()
-        self.overflow_streak = 0
+        self.pair_bucket = capacity.PairBucket(self._raster_cfg.max_pairs,
+                                               quiet=self.quiet)
 
     # -------------------------------------------------------------- config
     def _rebuild_config(self):
@@ -116,67 +150,57 @@ class Trainer:
             patch_dwt_lh1_weight=getattr(o, "patch_dwt_lh1_weight", 1.0),
             patch_dwt_hl1_weight=getattr(o, "patch_dwt_hl1_weight", 1.0),
         )
+        # the raster config can change for reasons other than an overflow
+        # (capacity growth with default sizing, checkpoint restore) — keep
+        # the bucket controller in sync with the authoritative config
+        if hasattr(self, "pair_bucket"):
+            self.pair_bucket.max_pairs = self._raster_cfg.max_pairs
+        if self.mesh is not None:
+            from ..parallel.dp import build_dp_train_step
+            self._dp_step = build_dp_train_step(self._cfg, self.mesh)
 
     def _maybe_grow(self):
-        """Grow parameter capacity and pair buckets when close to full."""
-        n = int(self.state.n_alive)
-        if n > 0.85 * self.state.capacity:
-            new_cap = self.state.capacity * 2
-            self.state = gm.grow_capacity(self.state, new_cap)
-
-            # moments survive the grow: zero-pad them to the new capacity
-            def pad(tree_old):
-                out = {}
-                for k, a in tree_old.items():
-                    target = self.state.params[k].shape
-                    if a.shape != target:
-                        pads = [(0, target[0] - a.shape[0])] + \
-                               [(0, 0)] * (a.ndim - 1)
-                        out[k] = jnp.pad(a, pads)
-                    else:
-                        out[k] = a
-                return out
-            self.adam = self.adam._replace(m=pad(self.adam.m),
-                                           v=pad(self.adam.v))
+        """Grow parameter capacity (Adam moments padded) when close to
+        full; shared semantics live in `train/capacity.py`."""
+        self.state, self.adam, grew = capacity.ensure_headroom(
+            self.state, self.adam, quiet=self.quiet)
+        if grew:
+            self._dp_clean = False
             self._rebuild_config()
-            if not self.quiet:
-                print(f"[capacity] grown to {new_cap}")
 
     def _maybe_grow_pairs(self, n_pairs: int):
-        """Grow the pair bucket on overflow; shrink when persistently
-        oversized (ALL binning/pack costs scale with the bucket)."""
-        if n_pairs > self._raster_cfg.max_pairs:
-            self.overflow_streak += 1
-            new_pairs = self._raster_cfg.max_pairs
-            while new_pairs < n_pairs * 1.3:
-                new_pairs *= 2
-            # Hard cap: transient exploding gaussians can touch every tile
-            # (pairs ≈ P·num_tiles). Beyond this the farthest-tile tail is
-            # dropped for a few iterations instead of risking HBM OOM; size
-            # screening prunes the offenders at the next reset interval.
-            cap = 1 << 23
-            if new_pairs > cap:
-                print(f"[raster] WARNING: pair demand {n_pairs} exceeds the "
-                      f"{cap} bucket cap; tail pairs drop until oversized "
-                      "gaussians are pruned")
-                new_pairs = cap
-            if new_pairs == self._raster_cfg.max_pairs:
-                return
+        """Grow/shrink the pair bucket via the shared controller."""
+        new_pairs = self.pair_bucket.update(n_pairs)
+        if new_pairs is not None:
             self.pipe.max_pairs = new_pairs
-            self._shrink_streak = 0
             self._rebuild_config()
-            if not self.quiet:
-                print(f"[raster] pair bucket grown to {new_pairs}")
-        elif (n_pairs * 3 < self._raster_cfg.max_pairs
-              and self._raster_cfg.max_pairs > (1 << 16)):
-            self._shrink_streak = getattr(self, "_shrink_streak", 0) + 1
-            if self._shrink_streak >= 5:   # ≈500 iters of headroom
-                self.pipe.max_pairs = self._raster_cfg.max_pairs // 2
-                self._shrink_streak = 0
-                self._rebuild_config()
-                if not self.quiet:
-                    print(f"[raster] pair bucket shrunk to "
-                          f"{self.pipe.max_pairs}")
+
+    # ------------------------------------------------------------------ dp
+    def _dp_replicate(self):
+        """Pin state onto the mesh (replicated) after any host-side
+        mutation (init, densify, reset, growth, restore)."""
+        from ..parallel.dp import replicate
+        self.state = replicate(self.state, self.mesh)
+        self.adam = replicate(self.adam, self.mesh)
+        self.exp_adam = replicate(self.exp_adam, self.mesh)
+        self.carry = replicate(self.carry, self.mesh)
+        self._dp_clean = True
+
+    def _dp_substep(self, it, lrs, bg):
+        """One data-parallel step: dp_n distinct views, one per device."""
+        from ..parallel.dp import ViewBatch, shard_batch
+        idxs = [self.pick_camera() for _ in range(self.dp_n)]
+        batch = shard_batch(ViewBatch.gather(self.bank, idxs), self.mesh)
+        if not self._dp_clean:
+            self._dp_replicate()
+        with self.mesh:
+            (self.state, self.adam, self.exp_adam, self.carry,
+             metrics) = self._dp_step(
+                self.state, self.adam, self.exp_adam, self.carry, batch,
+                lrs, jnp.asarray(self.exposure_sched(it), jnp.float32),
+                jnp.asarray(self.depth_weight_sched(it), jnp.float32),
+                jnp.asarray(self.active_sh_degree, jnp.int32), bg)
+        return metrics
 
     # -------------------------------------------------------------- viewer
     def serve_viewer(self):
@@ -215,22 +239,25 @@ class Trainer:
         if it % 1000 == 0 and self.active_sh_degree < self.dataset_args.sh_degree:
             self.active_sh_degree += 1
 
-        cam_idx = self.pick_camera()
         lrs = {k: jnp.asarray(f(it), jnp.float32)
                for k, f in self.lr_scheds.items()
                if k in self.state.params}
         bg = (jnp.asarray(np.random.random(self.channels), jnp.float32)
               if getattr(o, "random_background", False) else self.background)
 
-        out = train_step(
-            self.state, self.adam, self.exp_adam, self.carry, self.bank,
-            jnp.asarray(cam_idx, jnp.int32), lrs,
-            jnp.asarray(self.exposure_sched(it), jnp.float32),
-            jnp.asarray(self.depth_weight_sched(it), jnp.float32),
-            jnp.asarray(self.active_sh_degree, jnp.int32), bg, self._cfg)
-        self.state, self.adam = out.state, out.adam
-        self.exp_adam, self.carry = out.exp_adam, out.carry
-        metrics = out.metrics
+        if self.mesh is None:
+            cam_idx = self.pick_camera()
+            out = train_step(
+                self.state, self.adam, self.exp_adam, self.carry, self.bank,
+                jnp.asarray(cam_idx, jnp.int32), lrs,
+                jnp.asarray(self.exposure_sched(it), jnp.float32),
+                jnp.asarray(self.depth_weight_sched(it), jnp.float32),
+                jnp.asarray(self.active_sh_degree, jnp.int32), bg, self._cfg)
+            self.state, self.adam = out.state, out.adam
+            self.exp_adam, self.carry = out.exp_adam, out.carry
+            metrics = out.metrics
+        else:
+            metrics = self._dp_substep(it, lrs, bg)
 
         # densification events (reference train.py:265-276)
         densified = False
@@ -246,19 +273,19 @@ class Trainer:
                     percent_dense=o.percent_dense)
                 self.state, self.adam = res.state, res.opt_state
                 densified = True
-                # no silent caps: appends dropped at capacity must be loud —
-                # grow next interval (reference resizes tensors exactly,
-                # `gaussian_model.py:316-407`)
-                req, app = int(res.requested), int(res.appended)
-                if req > app:
-                    print(f"[densify] WARNING iter {it}: {req - app} of "
-                          f"{req} appends dropped at capacity "
-                          f"{self.state.capacity}; growing next interval")
-                    self._maybe_grow()
+                self._dp_clean = False
+                if capacity.dropped_appends(res, it, self.state.capacity):
+                    # unconditional: a drop means the event ran out of room
+                    # even if pruning left the final count under the
+                    # headroom threshold
+                    self.state, self.adam = capacity.grow_state(
+                        self.state, self.adam, quiet=self.quiet)
+                    self._rebuild_config()
             if (it % o.opacity_reset_interval == 0
                     or (self.dataset_args.white_background
                         and it == o.densify_from_iter)):
                 self.state, self.adam = reset_opacity(self.state, self.adam)
+                self._dp_clean = False
 
         # pair-bucket overflow drops tail pairs (subtly wrong renders), so
         # check on the logging cadence AND on the first step AFTER a densify
@@ -304,6 +331,7 @@ class Trainer:
     def restore_checkpoint(self, path: str):
         (self.state, self.adam, self.exp_adam, self.carry,
          self.iteration) = ckpt.load_checkpoint(path)
+        self._dp_clean = False
         self.active_sh_degree = min(self.iteration // 1000,
                                     self.dataset_args.sh_degree)
         self._rebuild_config()
@@ -314,10 +342,11 @@ def simple_train(scene, opt, pipe, dataset_args, method="lgdwt",
                  checkpoint_iterations=(), quiet=False,
                  progress: Optional[Callable] = None,
                  start_checkpoint: Optional[str] = None,
-                 tb: bool = True):
+                 tb: bool = True, data_parallel=1):
     from .logging import TrainReporter
 
-    trainer = Trainer(scene, opt, pipe, dataset_args, method, quiet=quiet)
+    trainer = Trainer(scene, opt, pipe, dataset_args, method, quiet=quiet,
+                      data_parallel=data_parallel)
     if start_checkpoint:
         trainer.restore_checkpoint(start_checkpoint)
         print(f"Resumed from {start_checkpoint} "

@@ -64,7 +64,8 @@ def train_method(method: str, dataset, opt, pipe, args) -> None:
         checkpoint_iterations=set(args.checkpoint_iterations or []),
         quiet=args.quiet,
         progress=_progress_printer(opt.iterations),
-        start_checkpoint=getattr(args, "start_checkpoint", None))
+        start_checkpoint=getattr(args, "start_checkpoint", None),
+        data_parallel=getattr(args, "data_parallel", 1))
 
     stats = trainer.evaluate(scene.getTestCameras() or
                              scene.getTrainCameras()[:8])

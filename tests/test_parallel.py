@@ -103,6 +103,7 @@ def _dp_train(n_devices, iters=30, size=32, n_gauss=96):
     return jax.tree.map(np.asarray, state.params), float(metrics["l1"])
 
 
+@pytest.mark.timeout(900)
 def test_dp_training_matches_single_device():
     """N-device DP must compute the same batch-SGD update as one device.
 
@@ -122,3 +123,41 @@ def test_dp_training_matches_single_device():
     p1, l1 = _dp_train(1, iters=30)
     assert np.isfinite(l8) and np.isfinite(l1)
     assert abs(l8 - l1) / max(l1, 1e-6) < 0.05, (l8, l1)
+
+
+@pytest.mark.timeout(900)
+def test_trainer_dp_cli_path_reaches_single_device_psnr():
+    """The CLI-reachable DP path (`Trainer(data_parallel=N)`, wired to
+    `train.py --data_parallel`) must train to the same PSNR as the
+    single-device trainer on the same scene — including densify events on
+    replicated state."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sparse_view_3dgs_pack_tpu.testing import (make_dryrun_opt,
+                                                   make_dryrun_pipe,
+                                                   make_fake_scene)
+    from sparse_view_3dgs_pack_tpu.train.loop import Trainer
+
+    def run(dp):
+        scene = make_fake_scene(n_points=160, n_views=8, width=32,
+                                height_px=32, capacity=256, sh_degree=1,
+                                seed=3)
+        opt = make_dryrun_opt(iterations=60, dwt_enable=False,
+                              patch_dwt_enable=False,
+                              densification_interval=20,
+                              densify_from_iter=10, densify_until_iter=50,
+                              densify_grad_threshold=1e-4)
+        tr = Trainer(scene, opt, make_dryrun_pipe(), scene.args,
+                     method="3dgs", quiet=True, data_parallel=dp)
+        random.seed(0)
+        p0 = tr.evaluate(scene.getTrainCameras()[:4])["psnr"]
+        for _ in range(opt.iterations):
+            tr.step()
+        p1 = tr.evaluate(scene.getTrainCameras()[:4])["psnr"]
+        return p0, p1
+
+    import random
+    s0, s1 = run(1)
+    d0, d1 = run(8)
+    assert d1 > d0 + 1.0, (d0, d1)          # DP actually learns
+    assert d1 >= s1 - 0.5, (s1, d1)         # parity with single device

@@ -49,6 +49,10 @@ def main(argv=None):
                         choices=["auto", "precomputed", "midas", "none"])
     parser.add_argument("--profile", type=str, default="",
                         help="write a jax.profiler trace to this directory")
+    parser.add_argument("--data_parallel", type=str, default="1",
+                        help="views-per-step data parallelism over the "
+                             "device mesh: an int, or 'auto' for every "
+                             "visible device (3dgs/lgdwt methods)")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
