@@ -35,7 +35,8 @@ def evaluate(model_paths):
 
     from sparse_view_3dgs_pack_tpu.metrics import (lpips, psnr_metric,
                                                    ssim_metric)
-    from sparse_view_3dgs_pack_tpu.metrics.lpips import lpips_backend
+    from sparse_view_3dgs_pack_tpu.metrics.lpips import (lpips_backend,
+                                                          lpips_is_proxy)
 
     full_dict = {}
     per_view_dict = {}
@@ -58,20 +59,24 @@ def evaluate(model_paths):
                     psnrs.append(float(psnr_metric(rj, gj)))
                     lpipss.append(float(lpips(rj, gj, net_type="vgg")))
 
+                # a proxy LPIPS (no converted weights in this env) must
+                # never be conflated with the real metric: separate key
+                lpips_key = "LPIPS_proxy" if lpips_is_proxy() else "LPIPS"
                 print("  SSIM : {:>12.7f}".format(sum(ssims) / len(ssims)))
                 print("  PSNR : {:>12.7f}".format(sum(psnrs) / len(psnrs)))
-                print("  LPIPS: {:>12.7f}".format(sum(lpipss) / len(lpipss)))
+                print("  {}: {:>12.7f}".format(
+                    lpips_key, sum(lpipss) / len(lpipss)))
 
                 full_dict[scene_dir][method] = {
                     "SSIM": sum(ssims) / len(ssims),
                     "PSNR": sum(psnrs) / len(psnrs),
-                    "LPIPS": sum(lpipss) / len(lpipss),
+                    lpips_key: sum(lpipss) / len(lpipss),
                     "LPIPS_backend": lpips_backend(),
                 }
                 per_view_dict[scene_dir][method] = {
                     "SSIM": dict(zip(names, ssims)),
                     "PSNR": dict(zip(names, psnrs)),
-                    "LPIPS": dict(zip(names, lpipss)),
+                    lpips_key: dict(zip(names, lpipss)),
                 }
 
             with open(os.path.join(scene_dir, "results.json"), "w") as f:

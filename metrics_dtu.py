@@ -17,6 +17,7 @@ def evaluate_dtu(model_paths, source_path):
     from PIL import Image as PILImage
 
     import jax.numpy as jnp
+    from sparse_view_3dgs_pack_tpu.metrics.lpips import lpips_is_proxy
     from sparse_view_3dgs_pack_tpu.metrics import (lpips, psnr_metric,
                                                    ssim_metric)
 
@@ -56,7 +57,8 @@ def evaluate_dtu(model_paths, source_path):
             results[method] = {
                 "PSNR": sum(psnrs) / len(psnrs),
                 "SSIM": sum(ssims) / len(ssims),
-                "LPIPS": sum(lpipss) / len(lpipss),
+                ("LPIPS_proxy" if lpips_is_proxy() else "LPIPS"):
+                    sum(lpipss) / len(lpipss),
             }
             print(f"{scene_dir} {method}: PSNR {results[method]['PSNR']:.3f} "
                   f"SSIM {results[method]['SSIM']:.4f} "

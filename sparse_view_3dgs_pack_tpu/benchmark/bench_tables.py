@@ -36,12 +36,23 @@ class BenchTables:
                    " — not comparable to published LPIPS)"
         return ""
 
+    def _metrics(self):
+        """Active metric columns: the static set, plus a clearly-labelled
+        LPIPS-proxy table only when some run used the random-feature
+        fallback (never mixed into the real LPIPS column)."""
+        ms = list(METRICS)
+        if any(r.get("lpips_proxy") is not None for r in self.rows):
+            ms.insert(3, ("lpips_proxy",
+                          "LPIPS-proxy (random features — NOT comparable "
+                          "to published LPIPS) $\\downarrow$", "min"))
+        return ms
+
     def aggregate(self):
         """→ {metric: {scene: {model: (mean, std, n)}}}"""
-        agg = {m: defaultdict(dict) for m, _, _ in METRICS}
+        agg = {m: defaultdict(dict) for m, _, _ in self._metrics()}
         buckets = defaultdict(list)
         for row in self.rows:
-            for metric, _, _ in METRICS:
+            for metric, _, _ in self._metrics():
                 v = row.get(metric)
                 if v is not None:
                     buckets[(metric, row["scene"], row["model"])].append(
@@ -116,7 +127,7 @@ class BenchTables:
         tables_dir = Path(out_root) / "tables"
         tables_dir.mkdir(parents=True, exist_ok=True)
         combined = []
-        for metric, title, best in METRICS:
+        for metric, title, best in self._metrics():
             if metric == "lpips":
                 title = title + self._lpips_title_suffix()
             tex = self._latex_table(metric, title, best)

@@ -35,71 +35,79 @@ def slug(s: str) -> str:
     return re.sub(r"-{2,}", "-", s).strip("-") or "run"
 
 
-def deep_merge(a, b):
-    if isinstance(a, dict) and isinstance(b, dict):
-        out = dict(a)
-        for k, v in b.items():
-            out[k] = deep_merge(a.get(k), v)
-        return out
-    return b if b is not None else a
+def deep_merge(base, override):
+    """Layer `override` onto `base`: dicts merge recursively, an explicit
+    None in the override keeps the base value, anything else replaces it
+    (YAML override semantics of `fs3dgs_benchmark/benchmark.py:22`)."""
+    if not (isinstance(base, dict) and isinstance(override, dict)):
+        return base if override is None else override
+    merged = dict(base)
+    merged.update({key: deep_merge(base.get(key), val)
+                   for key, val in override.items()})
+    return merged
+
+
+_REF_PATTERN = re.compile(r"\$\{([^}]+)\}")
 
 
 def resolve_refs(obj, ctx):
-    """Resolve ${a.b.c} references (embedded or whole-string)."""
-    def lookup(path):
-        cur = ctx
-        for p in path.split("."):
-            cur = cur[p]
-        return cur
-
-    def rv(v):
-        if isinstance(v, str):
-            return re.sub(r"\$\{([^}]+)\}", lambda m: str(lookup(m.group(1))),
-                          v)
-        return v
-
+    """Substitute ${dotted.path} placeholders (embedded or whole-string)
+    anywhere inside `obj` by walking `ctx` along the dotted path."""
     if isinstance(obj, dict):
-        return {k: resolve_refs(rv(v), ctx) for k, v in obj.items()}
+        return {key: resolve_refs(val, ctx) for key, val in obj.items()}
     if isinstance(obj, list):
-        return [resolve_refs(rv(v), ctx) for v in obj]
-    return rv(obj)
+        return [resolve_refs(val, ctx) for val in obj]
+    if not isinstance(obj, str):
+        return obj
+
+    def deref(match):
+        node = ctx
+        for part in match.group(1).split("."):
+            node = node[part]
+        return str(node)
+
+    return _REF_PATTERN.sub(deref, obj)
 
 
 def flatten_repo_args(args_dict):
+    """Collapse one level of param-group nesting into flat flag keys (all
+    of the reference's ParamGroups present themselves as flat flags)."""
     flat = {}
-    for k, v in args_dict.items():
-        if isinstance(v, dict):
-            flat.update(v)
-        else:
-            flat[k] = v
+    for key, val in args_dict.items():
+        flat.update(val if isinstance(val, dict) else {key: val})
     return flat
 
 
 def build_cli_args(arg_map, flat_args):
-    cli = []
-    for norm_key, cli_name in arg_map.items():
-        if norm_key not in flat_args:
+    """Emit `--flag value` argv entries for exactly the keys whitelisted in
+    `arg_map` (harness keys like `seed` must not leak to the trainer):
+    True → bare flag, False/None → omitted, list → flag + items."""
+    argv = []
+    for key, flag_name in arg_map.items():
+        try:
+            val = flat_args[key]
+        except KeyError:
             continue
-        value = flat_args[norm_key]
-        flag = f"--{cli_name}"
-        if isinstance(value, bool):
-            if value:
-                cli.append(flag)
-        elif isinstance(value, list):
-            cli.append(flag)
-            cli.extend(str(x) for x in value)
-        elif value is None:
+        if val is None or val is False:
             continue
+        flag = "--" + flag_name
+        if val is True:
+            argv.append(flag)
+        elif isinstance(val, (list, tuple)):
+            argv.append(flag)
+            argv += [str(item) for item in val]
         else:
-            cli += [flag, str(value)]
-    return cli
+            argv += [flag, str(val)]
+    return argv
 
 
 def as_namespace_string(dflat, allowed_keys=None):
-    if allowed_keys is not None:
-        dflat = {k: v for k, v in dflat.items() if k in allowed_keys}
-    return "Namespace(" + ", ".join(f"{k}={v!r}" for k, v in dflat.items()) \
-        + ")"
+    """Render a dict the way argparse prints a Namespace — the cfg_args
+    file format the reference's render/metrics `eval()` back in."""
+    keep = dflat if allowed_keys is None else {
+        key: val for key, val in dflat.items() if key in allowed_keys}
+    body = ", ".join("%s=%r" % item for item in keep.items())
+    return "Namespace(" + body + ")"
 
 
 def expand_grid(grid):
@@ -252,7 +260,8 @@ def execute_runs(runs, cfg, out_root: Path, python: str, dry=False):
                         next(iter(data.values())) if data else None)
                     if isinstance(block, dict):
                         for src, dst in (("PSNR", "psnr"), ("SSIM", "ssim"),
-                                         ("LPIPS", "lpips")):
+                                         ("LPIPS", "lpips"),
+                                         ("LPIPS_proxy", "lpips_proxy")):
                             if src in block:
                                 metrics[dst] = float(block[src])
                         # never let a proxy LPIPS masquerade as the real
@@ -274,7 +283,8 @@ def execute_runs(runs, cfg, out_root: Path, python: str, dry=False):
 
 def write_summary(summary_rows, out_root: Path):
     fieldnames = ["tag", "scene", "model", "seed", "exit_code",
-                  "duration_sec", "psnr", "ssim", "lpips", "lpips_backend"]
+                  "duration_sec", "psnr", "ssim", "lpips", "lpips_proxy",
+                  "lpips_backend"]
     for row in summary_rows:
         for k in fieldnames:
             row.setdefault(k, None)
