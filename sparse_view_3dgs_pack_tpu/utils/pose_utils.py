@@ -15,6 +15,7 @@ import math
 import numpy as np
 
 from ..data.cameras import Camera
+from . import stepfun
 
 
 def _c2w(cam: Camera) -> np.ndarray:
@@ -81,9 +82,12 @@ def generate_spiral_path(cams, n_frames: int = 120, n_rots: int = 2,
     return out
 
 
-def generate_ellipse_path(cams, n_frames: int = 120, z_variation: float = 0.0):
+def generate_ellipse_path(cams, n_frames: int = 120, z_variation: float = 0.0,
+                          const_speed: bool = True):
     """360°-style ellipse path at the mean camera height, looking at the
-    scene centroid."""
+    scene centroid. `const_speed` resamples the angles so arc velocity is
+    near constant — the reference default
+    (`FSGS/utils/pose_utils.py:180-184`, the repo's one `sample_np` use)."""
     c2ws = np.stack([_c2w(c) for c in cams])
     positions = c2ws[:, :3, 3]
     center = positions.mean(0)
@@ -94,13 +98,20 @@ def generate_ellipse_path(cams, n_frames: int = 120, z_variation: float = 0.0):
     z_mean = positions[:, 2].mean()
     z_amp = z_variation * (np.percentile(positions[:, 2], 90)
                            - np.percentile(positions[:, 2], 10))
+
+    def get_positions(theta):
+        return center + np.stack([rad_a * np.cos(theta),
+                                  rad_a * np.sin(theta),
+                                  (z_mean - center[2]
+                                   + z_amp * np.sin(2 * theta))], axis=-1)
+
+    theta = np.linspace(0, 2 * np.pi, n_frames + 1, endpoint=True)
+    if const_speed:
+        lengths = np.linalg.norm(np.diff(get_positions(theta), axis=0),
+                                 axis=-1)
+        theta = stepfun.sample_np(None, theta, np.log(lengths), n_frames + 1)
     out = []
-    for i, theta in enumerate(np.linspace(0, 2 * np.pi, n_frames,
-                                          endpoint=False)):
-        position = center + np.array([rad_a * np.cos(theta),
-                                      rad_a * np.sin(theta),
-                                      z_mean - center[2]
-                                      + z_amp * np.sin(2 * theta)])
+    for i, position in enumerate(get_positions(theta)[:-1]):
         c2w = _look_at_pose(position, center - position, up)
         out.append(_camera_from_c2w(c2w, cams[0], i))
     return out

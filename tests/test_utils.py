@@ -109,3 +109,35 @@ def test_psnr_identity():
     assert float(psnr(img, img)) > 50
     noisy = img + 0.1
     assert 19 < float(psnr(img, noisy)) < 21
+
+
+def test_ellipse_path_const_speed():
+    """const_speed=True (reference default, `FSGS/utils/pose_utils.py:180`)
+    resamples angles with `stepfun.sample_np` so per-frame arc lengths are
+    near uniform even on an eccentric path with height variation."""
+    from sparse_view_3dgs_pack_tpu.testing import make_orbit_cameras
+    from sparse_view_3dgs_pack_tpu.utils.pose_utils import (
+        generate_ellipse_path)
+
+    from sparse_view_3dgs_pack_tpu.testing import look_at_rt
+    cams = make_orbit_cameras(8, radius=3.0, width=32, height_px=32)
+    # vary camera heights so the fitted path has real z variation (an
+    # ellipse with height wobble has non-uniform naive arc speed)
+    for i, c in enumerate(cams):
+        a = 2 * np.pi * i / 8
+        c.R, c.T = look_at_rt((3.0 * np.cos(a), 3.0 * np.sin(a),
+                               1.2 + 0.8 * np.sin(a)), (0, 0, 0))
+
+    def step_cv(path):
+        pos = np.stack([np.linalg.inv(
+            np.block([[c.R.T, c.T[:, None]], [np.zeros(3), 1.0]]))[:3, 3]
+            for c in path])
+        d = np.linalg.norm(np.diff(pos, axis=0), axis=-1)
+        return d.std() / d.mean()
+
+    fast = generate_ellipse_path(cams, n_frames=60, z_variation=0.8,
+                                 const_speed=True)
+    slow = generate_ellipse_path(cams, n_frames=60, z_variation=0.8,
+                                 const_speed=False)
+    assert len(fast) == len(slow) == 60
+    assert step_cv(fast) < step_cv(slow)
