@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from tests import isolation
+
 from sparse_view_3dgs_pack_tpu import testing
 from sparse_view_3dgs_pack_tpu.ops.projection import project_gaussians
 from sparse_view_3dgs_pack_tpu.ops.rasterize_tiles import RasterConfig, rasterize
@@ -137,7 +139,30 @@ def scene_dir(tmp_path_factory):
     return _write_scene(root)
 
 
-def test_train_e2e_lgdwt(scene_dir, tmp_path):
+# The three big-compile loop tests run in isolated child processes (see
+# tests/isolation.py for why); the *_child bodies are what actually runs.
+
+@pytest.mark.timeout(3200)
+def test_train_e2e_lgdwt():
+    isolation.run_isolated(
+        "tests/test_train_e2e.py::test_train_e2e_lgdwt_child")
+
+
+@pytest.mark.timeout(3200)
+def test_densification_changes_count():
+    isolation.run_isolated(
+        "tests/test_train_e2e.py::test_densification_changes_count_child")
+
+
+@pytest.mark.timeout(3200)
+def test_train_e2e_fsgs():
+    isolation.run_isolated(
+        "tests/test_train_e2e.py::test_train_e2e_fsgs_child")
+
+
+@isolation.child_only
+@pytest.mark.timeout(600)
+def test_train_e2e_lgdwt_child(scene_dir, tmp_path):
     from sparse_view_3dgs_pack_tpu.scene import Scene
     from sparse_view_3dgs_pack_tpu.train.loop import Trainer
 
@@ -176,7 +201,8 @@ def test_train_e2e_lgdwt(scene_dir, tmp_path):
     assert stats2["psnr"] == pytest.approx(psnr_before, abs=0.01)
 
 
-def test_densification_changes_count(scene_dir, tmp_path):
+@isolation.child_only
+def test_densification_changes_count_child(scene_dir, tmp_path):
     from sparse_view_3dgs_pack_tpu.scene import Scene
     from sparse_view_3dgs_pack_tpu.train.loop import Trainer
 
@@ -196,7 +222,8 @@ def test_densification_changes_count(scene_dir, tmp_path):
     assert n1 != n0  # clone/split/prune actually fired
 
 
-def test_train_e2e_fsgs(scene_dir, tmp_path):
+@isolation.child_only
+def test_train_e2e_fsgs_child(scene_dir, tmp_path):
     """Full train_fsgs loop: depth priors from precomputed maps, warped
     pseudo-view distillation, proximity + dist-split densification."""
     from sparse_view_3dgs_pack_tpu.train.fsgs_loop import train_fsgs
