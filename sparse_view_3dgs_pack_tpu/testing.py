@@ -37,13 +37,14 @@ def look_at_rt(eye, target, up=(0.0, 0.0, 1.0)):
 
 
 def make_orbit_cameras(n, radius=4.0, height=1.2, fovx=math.radians(60),
-                       width=128, height_px=None, target=(0, 0, 0)):
+                       width=128, height_px=None, target=(0, 0, 0),
+                       phase=0.0):
     from .data.cameras import Camera
     H = height_px or width
     fovy = 2 * math.atan(math.tan(fovx / 2) * H / width)
     cams = []
     for i in range(n):
-        a = 2 * math.pi * i / max(n, 1)
+        a = 2 * math.pi * i / max(n, 1) + phase
         eye = (radius * math.cos(a), radius * math.sin(a), height)
         R, T = look_at_rt(eye, target)
         cams.append(Camera(uid=i, colmap_id=i + 1, R=R, T=T, fovx=fovx,
