@@ -220,12 +220,14 @@ def main():
     log("config written:", cfg_path)
 
     t0 = time.time()
+    out_dir = os.path.join(out_root, "r3_sweep")
     rc = subprocess.call(
         [sys.executable, "-m", "sparse_view_3dgs_pack_tpu.benchmark.cli",
-         "runall", "-c", cfg_path, "--python", sys.executable], cwd=REPO)
+         "runall", "-c", cfg_path, "--python", sys.executable,
+         "--out_dir", out_dir, "--resume"], cwd=REPO)
     log(f"runall rc={rc} in {time.time() - t0:.0f}s")
 
-    summary = os.path.join(out_root, "summary.csv")
+    summary = os.path.join(out_dir, "summary.csv")
     if os.path.exists(summary):
         print(open(summary).read())
     return rc

@@ -129,6 +129,11 @@ def build_runs(cfg, out_root: Path, python: str):
             scenes.append({"name": s["name"], "source_path": s["source_path"]})
     else:
         root = Path(cfg["defaults"]["dataset_root"]).expanduser().resolve()
+        if not root.is_dir():
+            raise SystemExit(
+                f"No scenes in config and dataset_root does not exist: "
+                f"{root} — list `scenes:` or point `defaults.dataset_root` "
+                f"at a directory of scene folders")
         for sub in sorted(root.iterdir()):
             if sub.is_dir():
                 scenes.append({"name": sub.name, "source_path": str(sub)})
@@ -202,13 +207,27 @@ def _subprocess_stage(cmd, cwd, env, log_path, label, tag):
     return code, dur
 
 
-def execute_runs(runs, cfg, out_root: Path, python: str, dry=False):
+def execute_runs(runs, cfg, out_root: Path, python: str, dry=False,
+                 resume=False):
     summary_rows = []
     for r in runs:
         print("\n==> Running:", r["tag"])
         print("CMD:", " ".join(shlex.quote(x) for x in r["cmd"]))
         if dry:
             continue
+        if resume:
+            # a fully-completed run's result.json has the metrics block
+            # (ssim key present even when null); train-only crashes don't
+            try:
+                prev = json.load(open(r["result_path"]))
+            except (OSError, ValueError):
+                prev = None
+            if isinstance(prev, dict) and "ssim" in prev:
+                print(f"[Resume] Skipping completed {r['tag']}")
+                summary_rows.append({"tag": r["tag"], "scene": r["scene"],
+                                     "model": r["model"], "seed": r["seed"],
+                                     **prev})
+                continue
         code, dur = _subprocess_stage(r["cmd"], r["repo_dir"], r["env"],
                                       r["log_path"], "Train", r["tag"])
         metrics = {"exit_code": code, "duration_sec": round(dur, 2)}
@@ -306,6 +325,12 @@ def main(argv=None):
     ap.add_argument("-c", "--config", default="config.yaml")
     ap.add_argument("--python", default=sys.executable)
     ap.add_argument("--dry", action="store_true")
+    ap.add_argument("--out_dir", default="",
+                    help="use this exact output directory instead of a "
+                         "fresh timestamped one (required for --resume)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip runs whose result.json shows a completed "
+                         "pipeline (use with --out_dir)")
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
@@ -317,9 +342,12 @@ def main(argv=None):
                                         "./bench_runs")).expanduser().resolve()
     base_out.mkdir(parents=True, exist_ok=True)
     run_desc = cfg["defaults"].get("run_desc", "")
-    stamp = f"{datetime.datetime.now():%Y-%m-%d_%H-%M-%S}"
-    run_id = f"{stamp}_{slug(run_desc)}" if run_desc else stamp
-    out_root = base_out / run_id
+    if args.out_dir:
+        out_root = Path(args.out_dir).expanduser().resolve()
+    else:
+        stamp = f"{datetime.datetime.now():%Y-%m-%d_%H-%M-%S}"
+        run_id = f"{stamp}_{slug(run_desc)}" if run_desc else stamp
+        out_root = base_out / run_id
     out_root.mkdir(parents=True, exist_ok=True)
     try:
         shutil.copy2(args.config, out_root / "config.yaml")
@@ -328,7 +356,7 @@ def main(argv=None):
 
     runs = build_runs(cfg, out_root, args.python)
     summary_rows = execute_runs(runs, cfg, out_root, args.python,
-                                dry=args.dry)
+                                dry=args.dry, resume=args.resume)
     if not args.dry and summary_rows:
         write_summary(summary_rows, out_root)
 

@@ -142,3 +142,38 @@ def test_bench_tables_export(tmp_path):
     assert "m1" in tex and "m2" in tex
     assert "\\textbf{22.000}" in tex
     assert (out / "combined.tex").exists()
+
+
+def test_resume_skips_completed_runs(tmp_path, scene_dir, monkeypatch):
+    """--resume must skip runs whose result.json shows a finished pipeline
+    (metrics block present) without spawning any subprocess, and re-run
+    runs that only got through training (crash-resume semantics)."""
+    import yaml as _yaml
+
+    from sparse_view_3dgs_pack_tpu.benchmark import benchmark as bm
+
+    cfg_path = _write_config(tmp_path, scene_dir, iters=20)
+    cfg = bm.resolve_refs(_yaml.safe_load(open(cfg_path)), {
+        "defaults": _yaml.safe_load(open(cfg_path))["defaults"],
+        "scenes": {}})
+    out_root = tmp_path / "resume_out"
+    out_root.mkdir()
+    runs = bm.build_runs(cfg, out_root, sys.executable)
+    assert len(runs) == 1
+    done = {"exit_code": 0, "duration_sec": 1.0, "psnr": 30.0,
+            "ssim": 0.9, "lpips": None}
+    with open(runs[0]["result_path"], "w") as f:
+        json.dump(done, f)
+
+    calls = []
+    monkeypatch.setattr(bm, "_subprocess_stage",
+                        lambda *a, **k: calls.append(a) or (0, 0.0))
+    rows = bm.execute_runs(runs, cfg, out_root, sys.executable, resume=True)
+    assert calls == []                      # nothing re-ran
+    assert rows and rows[0]["psnr"] == 30.0  # summary row reloaded
+
+    # a train-only result.json (no metrics block) is NOT complete: re-run
+    with open(runs[0]["result_path"], "w") as f:
+        json.dump({"exit_code": 0, "duration_sec": 1.0}, f)
+    rows = bm.execute_runs(runs, cfg, out_root, sys.executable, resume=True)
+    assert calls                             # stages ran this time
