@@ -72,6 +72,9 @@ def main(argv=None):
     parser.add_argument("--model_paths", "-m", required=True, nargs="+")
     parser.add_argument("--source_path", "-s", required=True)
     args = parser.parse_args(argv)
+    from sparse_view_3dgs_pack_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
     evaluate_dtu(args.model_paths, args.source_path)
 
 

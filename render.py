@@ -115,6 +115,9 @@ def main(argv=None):
     if _os.environ.get("GS_FORCE_CPU"):
         import jax as _jax
         _jax.config.update("jax_platforms", "cpu")
+    from sparse_view_3dgs_pack_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
 
     import jax.numpy as jnp
 

@@ -64,6 +64,10 @@ def main(argv=None):
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
 
+    from sparse_view_3dgs_pack_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
+
     from sparse_view_3dgs_pack_tpu.utils.general import safe_state
     safe_state(args.quiet)
 
