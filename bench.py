@@ -210,14 +210,14 @@ def main():
     train_its = _run_phase("train")
     result = {
         "metric": "render_fps_1080p",
-        "value": round(render_fps, 2) if render_fps else None,
+        "value": round(render_fps, 2) if render_fps is not None else None,
         "unit": "fps",
         "vs_baseline": (round(render_fps / RENDER_BASELINE_FPS, 3)
-                        if render_fps else None),
+                        if render_fps is not None else None),
         "train_iters_per_sec_800p": (round(train_its, 2)
-                                     if train_its else None),
+                                     if train_its is not None else None),
         "train_vs_baseline": (round(train_its / TRAIN_BASELINE_ITS, 3)
-                              if train_its else None),
+                              if train_its is not None else None),
         "device": _device_name(),
         # anchors are literature constants, not locally measured (no CUDA
         # GPU exists here): >=30 fps @1080p is the 3DGS paper's real-time
@@ -226,7 +226,8 @@ def main():
         "baseline_src": "3dgs-paper-30fps-1080p;consumer-gpu-15its",
     }
     print(json.dumps(result))
-    return 0 if render_fps is not None else 1
+    # both phases must have produced a number for the bench to count as green
+    return 0 if (render_fps is not None and train_its is not None) else 1
 
 
 def _device_name():

@@ -54,15 +54,15 @@ def evaluate_dtu(model_paths, source_path):
                 psnrs.append(float(psnr_metric(rj, gj)))
                 ssims.append(float(ssim_metric(rj, gj)))
                 lpipss.append(float(lpips(rj, gj)))
+            lpips_key = "LPIPS_proxy" if lpips_is_proxy() else "LPIPS"
             results[method] = {
                 "PSNR": sum(psnrs) / len(psnrs),
                 "SSIM": sum(ssims) / len(ssims),
-                ("LPIPS_proxy" if lpips_is_proxy() else "LPIPS"):
-                    sum(lpipss) / len(lpipss),
+                lpips_key: sum(lpipss) / len(lpipss),
             }
             print(f"{scene_dir} {method}: PSNR {results[method]['PSNR']:.3f} "
                   f"SSIM {results[method]['SSIM']:.4f} "
-                  f"LPIPS {results[method]['LPIPS']:.4f}")
+                  f"{lpips_key} {results[method][lpips_key]:.4f}")
         with open(os.path.join(scene_dir, "results_dtu.json"), "w") as f:
             json.dump(results, f, indent=2)
 

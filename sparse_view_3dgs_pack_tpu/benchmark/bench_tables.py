@@ -49,10 +49,11 @@ class BenchTables:
 
     def aggregate(self):
         """→ {metric: {scene: {model: (mean, std, n)}}}"""
-        agg = {m: defaultdict(dict) for m, _, _ in self._metrics()}
+        ms = self._metrics()
+        agg = {m: defaultdict(dict) for m, _, _ in ms}
         buckets = defaultdict(list)
         for row in self.rows:
-            for metric, _, _ in self._metrics():
+            for metric, _, _ in ms:
                 v = row.get(metric)
                 if v is not None:
                     buckets[(metric, row["scene"], row["model"])].append(

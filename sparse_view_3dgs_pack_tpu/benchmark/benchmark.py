@@ -216,13 +216,15 @@ def execute_runs(runs, cfg, out_root: Path, python: str, dry=False,
         if dry:
             continue
         if resume:
-            # a fully-completed run's result.json has the metrics block
-            # (ssim key present even when null); train-only crashes don't
+            # only a run whose training succeeded AND whose metrics stage
+            # completed (ssim key present even when null) counts as done —
+            # crashed trainings must be retried, not carried forward
             try:
                 prev = json.load(open(r["result_path"]))
             except (OSError, ValueError):
                 prev = None
-            if isinstance(prev, dict) and "ssim" in prev:
+            if (isinstance(prev, dict) and "ssim" in prev
+                    and prev.get("exit_code") == 0):
                 print(f"[Resume] Skipping completed {r['tag']}")
                 summary_rows.append({"tag": r["tag"], "scene": r["scene"],
                                      "model": r["model"], "seed": r["seed"],

@@ -97,10 +97,6 @@ def _weights_path(net_type):
                          f"lpips_{net_type}.npz")
     if os.path.exists(local):
         return local
-    if net_type == "vgg":   # round-2 filename, kept for compatibility
-        legacy = os.path.join(os.path.dirname(__file__), "lpips_vgg.npz")
-        if os.path.exists(legacy):
-            return legacy
     return None
 
 

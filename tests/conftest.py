@@ -31,7 +31,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # this interrupts even native/futex hangs that a SIGALRM Python handler
 # cannot (one full-suite wedge was observed at an interpret-mode Pallas
 # test, stuck in a futex wait with zero CPU).
-# Budgets: default 300 s, @slow 1800 s, or @timeout(N) explicit.
+# Budgets: default 600 s, @slow 1800 s, or @timeout(N) explicit.
 # ---------------------------------------------------------------------------
 import faulthandler  # noqa: E402
 import sys  # noqa: E402

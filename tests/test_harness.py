@@ -177,3 +177,11 @@ def test_resume_skips_completed_runs(tmp_path, scene_dir, monkeypatch):
         json.dump({"exit_code": 0, "duration_sec": 1.0}, f)
     rows = bm.execute_runs(runs, cfg, out_root, sys.executable, resume=True)
     assert calls                             # stages ran this time
+
+    # a crashed training whose metrics stage still wrote the block must be
+    # retried, not carried forward as "completed" with null metrics
+    calls.clear()
+    with open(runs[0]["result_path"], "w") as f:
+        json.dump({**done, "exit_code": 1, "psnr": None, "ssim": None}, f)
+    bm.execute_runs(runs, cfg, out_root, sys.executable, resume=True)
+    assert calls                             # failed run re-ran
