@@ -11,7 +11,6 @@ Usage: python scripts/tpu_runall_sweep.py [workdir] [--iters N] [--size W]
 """
 import argparse
 import json
-import math
 import os
 import subprocess
 import sys
@@ -26,86 +25,16 @@ def log(*a):
 
 
 def build_scene(root, seed, size, n_train=12, n_test=4):
-    """Renderable synthetic Blender-format scene: ground-truth gaussian
-    cloud rendered from orbit cameras (train + offset test ring), sparse
-    init PLY, and precomputed depth priors for the few-shot methods."""
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-    from PIL import Image as PILImage
+    """Dense TPU-scale variant of the shared synthetic scene builder
+    (`tpu_sweep.build_scene`): 20k-Gaussian cloud rendered through the
+    Pallas kernel, mono-style depth priors, true-color dense init PLY."""
+    from tpu_sweep import build_scene as shared_build_scene
 
-    from sparse_view_3dgs_pack_tpu import testing
-    from sparse_view_3dgs_pack_tpu.data.ply import store_point_cloud
-    from sparse_view_3dgs_pack_tpu.ops.binning import bin_gaussians
-    from sparse_view_3dgs_pack_tpu.ops.pallas.raster_vjp import \
-        make_pallas_rasterizer
-    from sparse_view_3dgs_pack_tpu.ops.projection import project_gaussians
-
-    W = H = size
-    cloud = testing.make_gaussian_cloud(seed, 20_000, extent=1.1,
-                                        scale_range=(0.004, 0.03))
-    raster = make_pallas_rasterizer(W, H, 3, inference=True)
-
-    def render(cam):
-        p = cam.params()
-        proj = project_gaussians(
-            means3d=jnp.asarray(cloud["xyz"]),
-            scales=jnp.exp(jnp.asarray(cloud["scales"])),
-            quats=jnp.asarray(cloud["quats"]),
-            opacities=jax.nn.sigmoid(jnp.asarray(cloud["opacity"][:, 0])),
-            viewmat=jnp.asarray(p.viewmat),
-            full_proj=jnp.asarray(p.full_proj),
-            cam_center=jnp.asarray(p.cam_center),
-            tan_fovx=float(p.tan_fovx), tan_fovy=float(p.tan_fovy),
-            width=W, height=H, sh=jnp.asarray(cloud["features"]),
-            sh_degree=0)
-        ba = bin_gaussians(proj.means2d, proj.depths, proj.radii, W, H,
-                           1 << 19)
-        color, _, depth, alpha = raster(
-            proj.means2d, proj.depths, proj.conics, proj.colors,
-            proj.opacities, ba.ids, ba.tile_starts, ba.tile_counts,
-            jnp.zeros(3))
-        return (np.asarray(jnp.clip(color, 0, 1)), np.asarray(depth),
-                np.asarray(alpha))
-
-    os.makedirs(os.path.join(root, "depth_maps"), exist_ok=True)
-    metas = {}
-    for split, n, phase in (("train", n_train, 0.0), ("test", n_test, 0.26)):
-        os.makedirs(os.path.join(root, split), exist_ok=True)
-        frames = []
-        cams = testing.make_orbit_cameras(n, radius=3.5, width=W,
-                                          height_px=H, phase=phase)
-        for i, cam in enumerate(cams):
-            img, depth, alpha = render(cam)
-            name = f"r_{i}"
-            PILImage.fromarray((img * 255).astype(np.uint8)).save(
-                os.path.join(root, split, name + ".png"))
-            if split == "train":
-                # a real mono-style prior: the true rendered depth where
-                # covered, median elsewhere (what DPT would roughly give)
-                d = np.where(alpha > 0.3, depth,
-                             np.median(depth[alpha > 0.3]))
-                np.save(os.path.join(root, "depth_maps", name + ".npy"),
-                        d.astype(np.float32))
-            w2c = np.eye(4)
-            w2c[:3, :3] = cam.R.T
-            w2c[:3, 3] = cam.T
-            c2w = np.linalg.inv(w2c)
-            c2w[:3, 1:3] *= -1
-            frames.append({"file_path": f"./{split}/{name}",
-                           "transform_matrix": c2w.tolist()})
-        metas[split] = {"camera_angle_x": cams[0].fovx, "frames": frames}
-        log(f"{root}: {split} x{n} rendered")
-    for split, meta in metas.items():
-        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
-            json.dump(meta, f)
-    rng = np.random.default_rng(seed)
-    sel = rng.choice(len(cloud["xyz"]), 4000, replace=False)
-    store_point_cloud(
-        os.path.join(root, "points3d.ply"),
-        np.asarray(cloud["xyz"])[sel],
-        np.asarray(jax.nn.sigmoid(jnp.asarray(
-            cloud["features"][:, 0, :])) )[sel])
+    shared_build_scene(
+        root, seed, w=size, n_train=n_train, n_test=n_test, n_gauss=20_000,
+        depth_priors=True, extent=1.1, scale_range=(0.004, 0.03),
+        use_pallas=True, init_points=4000, init_noise=0.0,
+        init_colors="from_sh", depth_style="depth_median", progress=log)
 
 
 CONFIG_TMPL = """\

@@ -12,7 +12,6 @@ Usage: python scripts/tpu_sweep.py [workdir] [--iters N] [--dry]
 """
 import argparse
 import json
-import math
 import os
 import sys
 
@@ -23,7 +22,22 @@ import numpy as np  # noqa: E402
 
 
 def build_scene(root, seed, w=256, n_train=12, n_test=4, n_gauss=1500,
-                depth_priors=False):
+                depth_priors=False, extent=0.9, scale_range=(0.04, 0.12),
+                use_pallas=False, init_points=400, init_noise=0.04,
+                init_colors="random", depth_style="invdepth_affine",
+                progress=None):
+    """Renderable synthetic Blender-format scene: a ground-truth Gaussian
+    cloud rendered from orbit cameras (train + azimuth-offset test ring),
+    a sparse init PLY, and optionally mono-style depth priors.
+
+    The single scene builder for every sweep/A-B script (tpu_sweep,
+    tpu_runall_sweep, fsgs_ab). `use_pallas` renders through the Pallas
+    kernel (TPU) instead of the XLA reference path; `depth_style` picks the
+    prior flavour: "invdepth_affine" = true inverse depth under an affine
+    distortion (the scale/shift ambiguity a real MiDaS prior has, which
+    alignment must undo), "depth_median" = true depth where covered and
+    median-filled elsewhere (roughly what DPT would give). `init_colors`:
+    "random" or "from_sh" (the cloud's own dc colors)."""
     import jax
     import jax.numpy as jnp
     from PIL import Image as PILImage
@@ -31,11 +45,18 @@ def build_scene(root, seed, w=256, n_train=12, n_test=4, n_gauss=1500,
     from sparse_view_3dgs_pack_tpu import testing
     from sparse_view_3dgs_pack_tpu.data.ply import store_point_cloud
     from sparse_view_3dgs_pack_tpu.ops.projection import project_gaussians
-    from sparse_view_3dgs_pack_tpu.ops.rasterize_tiles import (RasterConfig,
-                                                               rasterize)
 
-    cloud = testing.make_gaussian_cloud(seed, n_gauss, extent=0.9,
-                                        scale_range=(0.04, 0.12))
+    cloud = testing.make_gaussian_cloud(seed, n_gauss, extent=extent,
+                                        scale_range=scale_range)
+
+    if use_pallas:
+        from sparse_view_3dgs_pack_tpu.ops.binning import bin_gaussians
+        from sparse_view_3dgs_pack_tpu.ops.pallas.raster_vjp import \
+            make_pallas_rasterizer
+        raster = make_pallas_rasterizer(w, w, 3, inference=True)
+    else:
+        from sparse_view_3dgs_pack_tpu.ops.rasterize_tiles import (
+            RasterConfig, rasterize)
 
     def render(cam):
         p = cam.params()
@@ -50,36 +71,40 @@ def build_scene(root, seed, w=256, n_train=12, n_test=4, n_gauss=1500,
             tan_fovx=float(p.tan_fovx), tan_fovy=float(p.tan_fovy),
             width=w, height=w, sh=jnp.asarray(cloud["features"]),
             sh_degree=0)
+        if use_pallas:
+            ba = bin_gaussians(proj.means2d, proj.depths, proj.radii, w, w,
+                               1 << 19)
+            color, _, depth, alpha = raster(
+                proj.means2d, proj.depths, proj.conics, proj.colors,
+                proj.opacities, ba.ids, ba.tile_starts, ba.tile_counts,
+                jnp.zeros(3))
+            return np.asarray(color), np.asarray(depth), np.asarray(alpha)
         out = rasterize(proj, w, w, jnp.zeros(3),
                         RasterConfig(max_pairs=1 << 17, max_per_tile=512,
                                      tile_batch=16))
-        return out.color, out.invdepth
+        return np.asarray(out.color), np.asarray(out.invdepth), None
 
-    os.makedirs(os.path.join(root, "train"), exist_ok=True)
-    os.makedirs(os.path.join(root, "test"), exist_ok=True)
+    def prior(depth_or_invd, alpha):
+        if depth_style == "depth_median":
+            return np.where(alpha > 0.3, depth_or_invd,
+                            np.median(depth_or_invd[alpha > 0.3]))
+        return 2.3 * depth_or_invd + 0.7
+
     meta = {}
-    for split, n, off in (("train", n_train, 0.0), ("test", n_test, 0.26)):
-        cams = testing.make_orbit_cameras(n, radius=3.5, width=w,
-                                          height_px=w)
+    for split, n, phase in (("train", n_train, 0.0), ("test", n_test, 0.26)):
+        os.makedirs(os.path.join(root, split), exist_ok=True)
+        # offset test azimuths so splits don't coincide
+        cams = testing.make_orbit_cameras(n, radius=3.5, height=1.2,
+                                          width=w, height_px=w, phase=phase)
         frames = []
         for i, cam in enumerate(cams):
-            # offset test azimuths so splits don't coincide
-            a = 2 * math.pi * i / n + off
-            eye = (3.5 * math.cos(a), 3.5 * math.sin(a), 1.2)
-            R, T = testing.look_at_rt(eye, (0, 0, 0))
-            cam.R, cam.T = R, T
-            img, invd = render(cam)
-            img = np.asarray(img)
+            img, d, alpha = render(cam)
             if depth_priors and split == "train":
-                # mono-depth-style prior: TRUE inverse depth under an
-                # affine distortion (the scale/shift ambiguity a real
-                # MiDaS prior has, which alignment must undo)
                 ddir = os.path.join(root, "depth_maps")
                 os.makedirs(ddir, exist_ok=True)
                 np.save(os.path.join(ddir, f"r_{i}.npy"),
-                        (2.3 * np.asarray(invd) + 0.7).astype(np.float32))
+                        prior(d, alpha).astype(np.float32))
             arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
-            name = f"./{split}/r_{i}"
             PILImage.fromarray(arr).save(
                 os.path.join(root, f"{split}/r_{i}.png"))
             w2c = np.eye(4)
@@ -87,17 +112,27 @@ def build_scene(root, seed, w=256, n_train=12, n_test=4, n_gauss=1500,
             w2c[:3, 3] = cam.T
             c2w = np.linalg.inv(w2c)
             c2w[:3, 1:3] *= -1
-            frames.append({"file_path": name,
+            frames.append({"file_path": f"./{split}/r_{i}",
                            "transform_matrix": c2w.tolist()})
         meta[split] = {"camera_angle_x": cams[0].fovx, "frames": frames}
+        if progress:
+            progress(f"{root}: {split} x{n} rendered")
     for split in ("train", "test"):
         with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
             json.dump(meta[split], f)
     rng = np.random.default_rng(seed)
-    sel = rng.choice(n_gauss, 400, replace=False)
-    store_point_cloud(os.path.join(root, "points3d.ply"),
-                      cloud["xyz"][sel] + rng.normal(0, 0.04, (400, 3)),
-                      rng.random((400, 3)))
+    init_points = min(init_points, n_gauss)
+    sel = rng.choice(n_gauss, init_points, replace=False)
+    if init_colors == "from_sh":
+        import jax.nn
+        colors = np.asarray(jax.nn.sigmoid(
+            jnp.asarray(cloud["features"][:, 0, :])))[sel]
+    else:
+        colors = rng.random((init_points, 3))
+    store_point_cloud(
+        os.path.join(root, "points3d.ply"),
+        cloud["xyz"][sel] + rng.normal(0, init_noise, (init_points, 3)),
+        colors)
     return root
 
 

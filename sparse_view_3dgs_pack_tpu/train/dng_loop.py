@@ -267,6 +267,16 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
                                        getattr(pipe, "max_per_tile", 0),
                                        getattr(pipe, "tile_batch", 64))
     pair_bucket = capacity.PairBucket(raster_cfg.max_pairs)
+
+    def rebuild_cfg(pairs=None):
+        nonlocal raster_cfg
+        raster_cfg = default_raster_config(
+            state.capacity, W, H,
+            pair_bucket.max_pairs if pairs is None else pairs,
+            getattr(pipe, "max_per_tile", 0),
+            getattr(pipe, "tile_batch", 64))
+        pair_bucket.max_pairs = raster_cfg.max_pairs
+
     spiral_cams = generate_spiral_path(cams, n_frames=120)
 
     active_sh = 0
@@ -307,11 +317,7 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
                 and it % opt.densification_interval == 0):
             state, adam, grew = capacity.ensure_headroom(state, adam)
             if grew:
-                raster_cfg = default_raster_config(
-                    state.capacity, W, H, pair_bucket.max_pairs,
-                    getattr(pipe, "max_per_tile", 0),
-                    getattr(pipe, "tile_batch", 64))
-                pair_bucket.max_pairs = raster_cfg.max_pairs
+                rebuild_cfg()
             res = densify_and_prune(state, adam, jax.random.PRNGKey(it),
                                     opt.densify_grad_threshold,
                                     getattr(opt, "prune_threshold", 0.01),
@@ -321,11 +327,7 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
             densified = True
             if capacity.dropped_appends(res, it, state.capacity):
                 state, adam = capacity.grow_state(state, adam)
-                raster_cfg = default_raster_config(
-                    state.capacity, W, H, pair_bucket.max_pairs,
-                    getattr(pipe, "max_per_tile", 0),
-                    getattr(pipe, "tile_batch", 64))
-                pair_bucket.max_pairs = raster_cfg.max_pairs
+                rebuild_cfg()
 
         if near_range > 0 and it > 2000 and (it - 1) % 25 == 0:
             centers = jnp.asarray(np.stack(
@@ -341,11 +343,7 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
         if check_pairs_next or it % 10 == 0:
             new_pairs = pair_bucket.update(int(metrics["n_pairs"]))
             if new_pairs is not None:
-                raster_cfg = default_raster_config(
-                    state.capacity, W, H, new_pairs,
-                    getattr(pipe, "max_per_tile", 0),
-                    getattr(pipe, "tile_batch", 64))
-                pair_bucket.max_pairs = raster_cfg.max_pairs
+                rebuild_cfg(new_pairs)
         check_pairs_next = densified
 
         if it % 100 == 0:
