@@ -110,7 +110,15 @@ def main():
     ap.add_argument("workdir", nargs="?", default="/tmp/fsgs_ab")
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU plugin "
+                         "ignores JAX_PLATFORMS; this sets the config "
+                         "before first jax use)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from tpu_sweep import build_scene
 

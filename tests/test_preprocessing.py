@@ -68,3 +68,38 @@ def test_convert_cli_flags():
     import convert
     with pytest.raises(SystemExit):
         convert.main(["--help"])
+
+
+def test_full_eval_builds_expected_jobs(monkeypatch, tmp_path):
+    """full_eval drives train/render/metrics per scene with the reference's
+    per-set resolution flags (gaussian-splatting/full_eval.py: images_4 for
+    m360 outdoor, images_2 indoor, none for tat/db)."""
+    import full_eval
+
+    calls = []
+    monkeypatch.setattr(full_eval, "run", lambda cmd: calls.append(cmd))
+    full_eval.main(["-m360", str(tmp_path / "m360"),
+                    "-tat", str(tmp_path / "tat"),
+                    "--output_path", str(tmp_path / "out"),
+                    "--method", "3dgs"])
+
+    trains = [c for c in calls if any(a.endswith("train.py") for a in c)]
+    renders = [c for c in calls if any(a.endswith("render.py") for a in c)]
+    metrics = [c for c in calls if any(a.endswith("metrics.py") for a in c)]
+    assert len(trains) == len(renders) == 9 + 2   # 9 m360 + 2 tat scenes
+    assert len(metrics) == 1 and len(metrics[0]) >= 2 + 11
+
+    def flags(scene):
+        cmd = next(c for c in trains if any(scene in a for a in c))
+        return cmd[cmd.index("-i") + 1] if "-i" in cmd else None
+
+    assert flags("bicycle") == "images_4"        # outdoor
+    assert flags("bonsai") == "images_2"         # indoor
+    assert flags("truck") is None                # tanks&temples: full res
+    assert all("--method" in c and "3dgs" in c for c in trains)
+
+    # skip flags suppress their stages
+    calls.clear()
+    full_eval.main(["-tat", str(tmp_path / "tat"), "--skip_training",
+                    "--skip_metrics", "--output_path", str(tmp_path / "o2")])
+    assert all(any(a.endswith("render.py") for a in c) for c in calls)
