@@ -185,3 +185,29 @@ def test_resume_skips_completed_runs(tmp_path, scene_dir, monkeypatch):
         json.dump({**done, "exit_code": 1, "psnr": None, "ssim": None}, f)
     bm.execute_runs(runs, cfg, out_root, sys.executable, resume=True)
     assert calls                             # failed run re-ran
+
+
+def test_preprocess_handler_compatibility(tmp_path):
+    """Scene-layout gate of the harness preprocessing hook (reference
+    `fs3dgs_benchmark/preprocess_handler.py:11-106`)."""
+    from sparse_view_3dgs_pack_tpu.benchmark.preprocess_handler import (
+        check_dataset_compatibility, handle_dataset_preprocessing)
+
+    blender = tmp_path / "b"
+    (blender / "train").mkdir(parents=True)
+    (blender / "transforms_train.json").write_text("{}")
+    assert check_dataset_compatibility(str(blender))
+
+    colmap = tmp_path / "c"
+    (colmap / "images").mkdir(parents=True)
+    assert not check_dataset_compatibility(str(colmap))  # no sparse model
+    (colmap / "sparse").mkdir()
+    assert check_dataset_compatibility(str(colmap))
+
+    with pytest.raises(ValueError):
+        handle_dataset_preprocessing({}, {"source_path": str(tmp_path / "x")},
+                                     {})
+    out = handle_dataset_preprocessing(
+        {"args": {"n_views": 3, "point_cloud_type": "dense"}},
+        {"source_path": str(blender)}, {})
+    assert out == str(blender)   # warns (no dense init) but proceeds
