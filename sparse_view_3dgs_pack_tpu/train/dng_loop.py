@@ -42,6 +42,7 @@ from ..renderer import default_raster_config, render_core
 from ..scene import Scene
 from ..utils.pose_utils import generate_spiral_path
 from . import capacity
+from . import debug
 from .densify import (add_densification_stats, densify_and_prune, prune_only)
 from .optim import (adam_update, init_adam, init_tree_adam,
                     make_lr_schedules, tree_adam_update)
@@ -337,6 +338,9 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
                                 axis=-1)
             mask = (d < near_range).any(axis=1) & state.alive
             state, adam = prune_only(state, adam, mask)
+
+        # debug snapshot on non-finite loss (reference CHECK_CUDA dump path)
+        debug.check_step(pipe, it, metrics, state, dataset.model_path)
 
         # pair-bucket overflow drops tail pairs; check on the logging
         # cadence and right after densify events (the only jump moments)

@@ -35,6 +35,7 @@ from ..utils.general import get_expon_lr_func
 from ..utils.pose_utils import (generate_random_poses_360,
                                 generate_random_poses_llff)
 from . import capacity
+from . import debug
 from .densify import (add_densification_stats, densify_and_prune,
                       proximity_densify, reset_opacity)
 from .optim import init_adam, make_lr_schedules, adam_update
@@ -361,6 +362,9 @@ def train_fsgs(dataset, opt, pipe, args):
                     and (it - opt.start_sample_pseudo - 1)
                     % opt.opacity_reset_interval == 0):
                 state, adam = reset_opacity(state, adam)
+
+        # debug snapshot on non-finite loss (reference CHECK_CUDA dump path)
+        debug.check_step(pipe, it, metrics, state, dataset.model_path)
 
         # pair-bucket overflow drops tail pairs; check on the logging
         # cadence and right after densify events (the only jump moments)

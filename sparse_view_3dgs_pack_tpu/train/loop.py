@@ -21,6 +21,7 @@ import numpy as np
 from ..models import gaussians as gm
 from ..renderer import default_raster_config, render
 from . import capacity
+from . import debug
 from ..utils.general import get_expon_lr_func
 from ..utils.image import psnr as psnr_fn
 from . import checkpoint as ckpt
@@ -257,7 +258,14 @@ class Trainer:
             self.exp_adam, self.carry = out.exp_adam, out.carry
             metrics = out.metrics
         else:
+            cam_idx = None
             metrics = self._dp_substep(it, lrs, bg)
+
+        # debug snapshot on non-finite loss (reference CHECK_CUDA dump path)
+        debug.check_step(self.pipe, it, metrics, self.state,
+                         getattr(self.dataset_args, "model_path", "."),
+                         {"cam_idx": cam_idx,
+                          "active_sh_degree": self.active_sh_degree})
 
         # densification events (reference train.py:265-276)
         densified = False

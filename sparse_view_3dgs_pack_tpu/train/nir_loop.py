@@ -29,6 +29,7 @@ from ..ops.rasterize_tiles import RasterConfig
 from ..renderer import default_raster_config, render_core
 from ..scene import Scene
 from . import capacity
+from . import debug
 from .densify import add_densification_stats, densify_and_prune, reset_opacity
 from .optim import adam_update, init_adam, make_lr_schedules
 from .step import CameraBank, StepConfig, sh_band_mask, _DWT_KEYS
@@ -189,6 +190,9 @@ def train_nir(dataset, opt, pipe, args):
                     rebuild_cfg()
             if it % opt.opacity_reset_interval == 0:
                 state, adam = reset_opacity(state, adam)
+
+        # debug snapshot on non-finite loss (reference CHECK_CUDA dump path)
+        debug.check_step(pipe, it, metrics, state, dataset.model_path)
 
         # pair-bucket overflow drops tail pairs; check on the logging
         # cadence and right after densify events (the only jump moments)

@@ -34,6 +34,9 @@ def _progress_printer(total):
 
 
 def train_method(method: str, dataset, opt, pipe, args) -> None:
+    # arm the debug-snapshot facility from --debug_from (reference
+    # `LGDWT-GS/train.py` sets pipe.debug at that iteration)
+    pipe.debug_from = getattr(args, "debug_from", -1)
     if method in ("3dgs", "lgdwt"):
         use_nir = False
         channels = 3
