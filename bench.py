@@ -161,16 +161,29 @@ def bench_train(width=800, height=800, n=100_000, iters=10):
     return 1.0 / best
 
 
-PHASES = {"render": lambda: bench_render(), "train": lambda: bench_train()}
+def _probe():
+    """Touch the backend and materialise one array (tunnel round-trip)."""
+    import jax
+    import jax.numpy as jnp
+    dev = jax.devices()[0]
+    np.asarray(jnp.ones((8, 128)) * 2.0)
+    return 1.0 if dev is not None else 0.0
+
+
+PHASES = {"render": lambda: bench_render(), "train": lambda: bench_train(),
+          "probe": _probe}
 
 
 def _run_phase_child(phase):
     """Child mode: run one bench phase and print {"value": N} on success."""
     value = PHASES[phase]()
-    print(json.dumps({"value": value}))
+    print(json.dumps({"value": value, "device": _device_name()}))
 
 
-def _run_phase(phase, attempts=4, timeout=2400):
+_seen_device = "unknown"
+
+
+def _run_phase(phase, attempts=4, timeout=1500):
     """Run one bench phase in a fresh subprocess, retrying on failure.
 
     The TPU backend occasionally throws a transient INTERNAL error at the
@@ -197,6 +210,8 @@ def _run_phase(phase, attempts=4, timeout=2400):
                 except (json.JSONDecodeError, ValueError):
                     continue
                 if isinstance(payload, dict) and "value" in payload:
+                    global _seen_device
+                    _seen_device = payload.get("device", _seen_device)
                     return float(payload["value"])
         sys.stderr.write(
             f"[bench] {phase} attempt {attempt + 1}/{attempts} failed "
@@ -206,8 +221,18 @@ def _run_phase(phase, attempts=4, timeout=2400):
 
 
 def main():
-    render_fps = _run_phase("render")
-    train_its = _run_phase("train")
+    # Fast pre-flight: with a wedged TPU tunnel, backend init HANGS rather
+    # than erroring, and each phase attempt would burn its full timeout —
+    # hours before the driver sees any JSON. Probe first with a short
+    # budget and fail out in minutes instead. (Observed: the axon relay's
+    # claim leg hung for 3+ hours straight; nothing recovers it in-process.)
+    if _run_phase("probe", attempts=2, timeout=240) is None:
+        sys.stderr.write("[bench] backend unreachable (probe failed twice); "
+                         "emitting null result\n")
+        render_fps = train_its = None
+    else:
+        render_fps = _run_phase("render")
+        train_its = _run_phase("train")
     result = {
         "metric": "render_fps_1080p",
         "value": round(render_fps, 2) if render_fps is not None else None,
@@ -218,7 +243,10 @@ def main():
                                      if train_its is not None else None),
         "train_vs_baseline": (round(train_its / TRAIN_BASELINE_ITS, 3)
                               if train_its is not None else None),
-        "device": _device_name(),
+        # reported by the successful child — the PARENT never initialises
+        # the backend: with a wedged TPU tunnel jax.devices() can hang
+        # indefinitely, and the parent has no timeout around itself
+        "device": _seen_device,
         # anchors are literature constants, not locally measured (no CUDA
         # GPU exists here): >=30 fps @1080p is the 3DGS paper's real-time
         # claim (gaussian-splatting/README.md:14, RTX-class); ~15 it/s is a
