@@ -117,8 +117,8 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray, n_images: int,
     f_dc[:n, 0, :] = np.asarray(rgb2sh(jnp.asarray(colors[:, :channels])))
     f_rest = np.zeros((cap, K - 1, channels), np.float32)
 
-    d2 = np.asarray(dist2_for_scale_init(jnp.asarray(points,
-                                                     dtype=jnp.float32)))
+    # numpy input routes to the native exact grid search when built
+    d2 = np.asarray(dist2_for_scale_init(np.asarray(points, np.float32)))
     scaling = np.full((cap, 3), -10.0, np.float32)
     scaling[:n] = np.log(np.sqrt(d2))[:, None]
 

@@ -144,8 +144,36 @@ def knn3_bruteforce(points, k: int = 3):
     return jnp.mean(-neg_top, axis=1), idx
 
 
+try:
+    import fastio as _fastio
+    NATIVE_KNN = hasattr(_fastio, "knn3_exact")
+except ImportError:
+    _fastio = None
+    NATIVE_KNN = False
+
+
+def knn3_exact(points, k: int = 3):
+    """Exact k-NN on the host via the native grid search (`native/fastio.cpp`
+    `knn3_exact`), the counterpart of the reference's box-rejection search
+    (`simple-knn/simple_knn.cu:133-183`). → (mean_d2 (N,) f32, idx (N, k)
+    i32, nearest first). Requires the fastio extension."""
+    import numpy as np
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    n = pts.shape[0]
+    bd2, bidx = _fastio.knn3_exact(pts.tobytes(), n, k)
+    return (np.frombuffer(bd2, dtype=np.float32).copy(),
+            np.frombuffer(bidx, dtype=np.int32).reshape(n, k).copy())
+
+
 def dist2_for_scale_init(points, window: int = 32):
     """clamp_min(mean-3NN-d², 1e-7), the scale init used by
-    `create_from_pcd` (reference `gaussian_model.py:149-176`)."""
-    d2, _ = knn3(points, window=window)
+    `create_from_pcd` (reference `gaussian_model.py:149-176`).
+
+    Host numpy input + available native extension → exact grid search;
+    otherwise the on-device windowed-Morton approximation."""
+    import numpy as np
+    if NATIVE_KNN and isinstance(points, np.ndarray):
+        d2, _ = knn3_exact(points)
+        return np.maximum(d2, 1e-7)
+    d2, _ = knn3(jnp.asarray(points), window=window)
     return jnp.maximum(d2, 1e-7)

@@ -49,3 +49,51 @@ def test_scale_init_clamped():
     pts = jnp.zeros((10, 3))  # degenerate: all same point
     d2 = dist2_for_scale_init(pts)
     assert (np.asarray(d2) >= 1e-7).all()
+
+
+def test_native_exact_knn_matches_bruteforce():
+    """Native grid search (`native/fastio.cpp knn3_exact`) is EXACT — it must
+    match the O(N²) oracle bit-for-bit on indices (reference exactness class:
+    `simple-knn/simple_knn.cu:133-183` box-rejection search)."""
+    from sparse_view_3dgs_pack_tpu.ops.knn import NATIVE_KNN, knn3_exact
+    if not NATIVE_KNN:
+        import pytest
+        pytest.skip("fastio extension not built")
+    rng = np.random.default_rng(7)
+    for pts in (
+        rng.uniform(size=(997, 3)).astype(np.float32),          # uniform
+        np.vstack([rng.normal(0, 0.01, (300, 3)),               # clusters
+                   rng.normal(5, 0.01, (300, 3))]).astype(np.float32),
+        rng.normal(size=(800, 3)).astype(np.float32)
+        * np.array([1, 1, 1e-4], np.float32),                   # thin slab
+    ):
+        d2, idx = knn3_exact(pts)
+        bd2, bidx = knn3_bruteforce(jnp.asarray(pts))
+        np.testing.assert_allclose(d2, np.asarray(bd2), rtol=0, atol=1e-5)
+        assert (np.sort(idx, 1) == np.sort(np.asarray(bidx), 1)).all()
+
+
+def test_native_exact_knn_degenerate_and_tiny():
+    from sparse_view_3dgs_pack_tpu.ops.knn import NATIVE_KNN, knn3_exact
+    if not NATIVE_KNN:
+        import pytest
+        pytest.skip("fastio extension not built")
+    d2, idx = knn3_exact(np.zeros((50, 3), np.float32))
+    assert (d2 == 0).all() and not (idx == np.arange(50)[:, None]).any()
+    d2, idx = knn3_exact(np.zeros((2, 3), np.float32))  # n-1 < k
+    assert idx.shape == (2, 3) and (idx[:, 1:] == -1).all()
+    d2, idx = knn3_exact(np.zeros((0, 3), np.float32))
+    assert d2.shape == (0,)
+
+
+def test_scale_init_numpy_routes_native():
+    """numpy input → exact native path (same clamp semantics as the JAX
+    fallback); both paths agree on a random cloud."""
+    pts = np.random.default_rng(3).uniform(size=(400, 3)).astype(np.float32)
+    d_np = np.asarray(dist2_for_scale_init(pts))
+    d_jx = np.asarray(dist2_for_scale_init(jnp.asarray(pts), window=64))
+    assert (d_np >= 1e-7).all()
+    # windowed JAX path never undershoots the exact distances
+    assert (d_jx >= d_np - 1e-6).all()
+    rel = np.abs(d_jx - d_np) / d_np
+    assert np.median(rel) < 1e-5
