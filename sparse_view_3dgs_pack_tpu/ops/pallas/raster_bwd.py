@@ -40,14 +40,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..binning import Binning, tile_grid
-from .raster import (ALPHA_EPS, ALPHA_MAX, CHUNK, DROWS, LOG_T_EPS, PIX,
+from .raster import (ALPHA_EPS, ALPHA_MAX, CHUNK, DROWS, LOG_T_EPS,
                      TILE, pack_pair_data, rasterize_forward_pallas,
                      tile_pixel_coords, unpack_tiles)
 
 GROWS = 16  # grad rows: mx,my,a,b,c,op,payload(8),pad,pad
 
 
-def _bwd_kernel(num_tiles, grid_x, max_chunks,
+def _bwd_kernel(num_tiles, grid_x, max_chunks, tile_x, tile_y, pix,
                 # scalar prefetch
                 starts_ref, counts_ref,
                 # inputs
@@ -77,10 +77,10 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks,
     # tile-LOCAL pixel coordinates (precomputed input): keeps the moment
     # expansion Σq·dx² = R0 − 2m·R3 + m²·R5 well conditioned (global coords
     # lose ~3 digits to cancellation at 1080p)
-    px = pix_ref[:, 0:1]                               # (256, 1)
+    px = pix_ref[:, 0:1]                               # (pix, 1)
     py = pix_ref[:, 1:2]
-    txf = ((t % grid_x) * TILE).astype(jnp.float32)
-    tyf = ((t // grid_x) * TILE).astype(jnp.float32)
+    txf = ((t % grid_x) * tile_x).astype(jnp.float32)
+    tyf = ((t // grid_x) * tile_y).astype(jnp.float32)
 
     g = g_ref[0]                      # (256, 8) payload cotangent
     log_tf = aux_ref[0, :, 0:1]       # (256, 1)
@@ -264,8 +264,8 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks,
         return i < n_chunks
 
     init = (jnp.asarray(0, jnp.int32),
-            jnp.zeros((PIX, 1), jnp.float32),
-            jnp.zeros((PIX, 1), jnp.float32))
+            jnp.zeros((pix, 1), jnp.float32),
+            jnp.zeros((pix, 1), jnp.float32))
     i, _, _ = jax.lax.while_loop(cond, body, init)
 
     # drain outstanding OUTPUT copies (last up-to-2 chunks processed)
@@ -281,30 +281,34 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks,
     drain_out(2)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "max_chunks"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "max_chunks",
+                                              "tile_x", "tile_y"))
 def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
                               g_payload, aux, g_bg_rows,
                               width: int, height: int,
-                              max_chunks: int = 1 << 22):
+                              max_chunks: int = 1 << 22,
+                              tile_x: int = TILE, tile_y: int = TILE):
     """→ per-pair grads (NC, 16, CHUNK) chunk-major: rows [mx, my, a, b, c,
     opacity, payload(8), 0, 0].
 
     pair_data: (NC, 16, CHUNK) from pack_fields.
-    g_payload: (num_tiles, 256, 8) cotangents of the blend channels.
-    aux: (num_tiles, 256, 3) = [log_T_final, n_contrib, g_alpha].
-    g_bg_rows: (1, 8) bg row."""
-    grid_x, grid_y = tile_grid(width, height, TILE)
+    g_payload: (num_tiles, pix, 8) cotangents of the blend channels.
+    aux: (num_tiles, pix, 3) = [log_T_final, n_contrib, g_alpha].
+    g_bg_rows: (1, 8) bg row. tile_x/tile_y must match the binning."""
+    grid_x, grid_y = tile_grid(width, height, tile_x, tile_y)
     num_tiles = grid_x * grid_y
+    pix = tile_x * tile_y
 
-    kernel = functools.partial(_bwd_kernel, num_tiles, grid_x, max_chunks)
+    kernel = functools.partial(_bwd_kernel, num_tiles, grid_x, max_chunks,
+                               tile_x, tile_y, pix)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                  # pairs
-            pl.BlockSpec((1, PIX, 8), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, pix, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),              # g
-            pl.BlockSpec((1, PIX, 3), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, pix, 3), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),              # aux
             pl.BlockSpec(memory_space=pltpu.VMEM),              # bg row
             pl.BlockSpec(memory_space=pltpu.VMEM),              # pixel xy
@@ -328,5 +332,5 @@ def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(tile_starts, tile_counts, pair_data, g_payload, aux, g_bg_rows,
-      tile_pixel_coords())
+      tile_pixel_coords(tile_x, tile_y))
     return out

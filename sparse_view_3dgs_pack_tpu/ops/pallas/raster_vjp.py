@@ -18,19 +18,21 @@ import jax
 import jax.numpy as jnp
 
 from ..binning import tile_grid
-from .raster import (PIX, TILE, pack_fields, rasterize_forward_pallas,
+from .raster import (TILE, pack_fields, rasterize_forward_pallas,
                      unpack_tiles)
 from .raster_bwd import rasterize_backward_pallas
 
 
-def _tile_pack(img, width, height, channels):
-    """(H, W, K) image → (num_tiles, 256, K), zero-padded to tile multiples."""
-    grid_x, grid_y = tile_grid(width, height, TILE)
-    Hp, Wp = grid_y * TILE, grid_x * TILE
+def _tile_pack(img, width, height, channels,
+               tile_x: int = TILE, tile_y: int = TILE):
+    """(H, W, K) image → (num_tiles, tile_x·tile_y, K), zero-padded to tile
+    multiples."""
+    grid_x, grid_y = tile_grid(width, height, tile_x, tile_y)
+    Hp, Wp = grid_y * tile_y, grid_x * tile_x
     img = jnp.pad(img, ((0, Hp - height), (0, Wp - width), (0, 0)))
-    img = img.reshape(grid_y, TILE, grid_x, TILE, channels)
-    return img.transpose(0, 2, 1, 3, 4).reshape(grid_y * grid_x, PIX,
-                                                channels)
+    img = img.reshape(grid_y, tile_y, grid_x, tile_x, channels)
+    return img.transpose(0, 2, 1, 3, 4).reshape(grid_y * grid_x,
+                                                tile_x * tile_y, channels)
 
 
 @functools.lru_cache(maxsize=None)
@@ -47,12 +49,9 @@ def make_pallas_rasterizer(width: int, height: int, channels: int,
     in both variants.
 
     tile_x/tile_y select the kernel tile shape and MUST match the binning
-    that produced ids/starts/counts. Only the inference variant may deviate
-    from 16x16 (the backward kernel is 16x16 only)."""
+    that produced ids/starts/counts (both fwd and bwd kernels are
+    tile-shape generic)."""
     C = channels
-    if not inference:
-        assert (tile_x, tile_y) == (TILE, TILE), \
-            "training rasterizer supports 16x16 tiles only"
 
     def fwd_impl(means2d, depths, conics, colors, opacities, ids, starts,
                  counts, bg):
@@ -85,7 +84,7 @@ def make_pallas_rasterizer(width: int, height: int, channels: int,
             bg):
         outs, raw, pd = fwd_impl(means2d, depths, conics, colors, opacities,
                                  ids, starts, counts, bg)
-        aux = raw[:, :, 8:10]   # (num_tiles, 256, 2): log_t, n_contrib
+        aux = raw[:, :, 8:10]   # (num_tiles, pix, 2): log_t, n_contrib
         # pd kept as residual: repacking in bwd would cost a second big
         # row-gather
         res = (depths, ids, starts, counts, bg, aux, pd)
@@ -101,13 +100,16 @@ def make_pallas_rasterizer(width: int, height: int, channels: int,
             d_depth[..., None],
             jnp.zeros((height, width, 8 - C - 2), d_color.dtype),
         ], axis=-1)                                     # (H, W, 8)
-        g_tiles = _tile_pack(g_img, width, height, 8)   # (T, 256, 8)
-        ga_tiles = _tile_pack(d_alpha[..., None], width, height, 1)
-        aux3 = jnp.concatenate([aux, ga_tiles], axis=-1)  # (T, 256, 3)
+        g_tiles = _tile_pack(g_img, width, height, 8,
+                             tile_x, tile_y)            # (T, pix, 8)
+        ga_tiles = _tile_pack(d_alpha[..., None], width, height, 1,
+                              tile_x, tile_y)
+        aux3 = jnp.concatenate([aux, ga_tiles], axis=-1)  # (T, pix, 3)
 
         bg_row = jnp.zeros((1, 8), jnp.float32).at[0, :C].set(bg)
         d_pairs = rasterize_backward_pallas(pd, starts, counts, g_tiles,
-                                            aux3, bg_row, width, height)
+                                            aux3, bg_row, width, height,
+                                            tile_x=tile_x, tile_y=tile_y)
 
         P = depths.shape[0]
         # slots past the last tile's end were never written by the backward
@@ -139,8 +141,7 @@ def make_pallas_rasterizer(width: int, height: int, channels: int,
             -d_invd_row / (safe_depth * safe_depth) + d_depth_row, 0.0)
 
         # d_bg = Σ_pixels T_final · d_color (per channel), within-image only
-        grid_x, grid_y = tile_grid(width, height, TILE)
-        t_final = jnp.exp(aux[:, :, 0])                 # (T, 256)
+        t_final = jnp.exp(aux[:, :, 0])                 # (T, pix)
         g_color_tiles = g_tiles[..., :C]
         d_bg = jnp.einsum("tp,tpc->c", t_final, g_color_tiles)
 

@@ -67,6 +67,10 @@ class RasterConfig(NamedTuple):
     max_per_tile: int = 1024
     tile_batch: int = 64     # tiles per scanned/checkpointed batch
     tile: int = TILE
+    # Pallas training-path tile width (height stays `tile`); 0 → square.
+    # Wider tiles cut (tile, gaussian) pair counts at the cost of larger
+    # per-chunk pixel blocks. The pure-XLA path always uses square tiles.
+    train_tile_x: int = 0
 
 
 @partial(jax.jit, static_argnames=("width", "height", "config"))

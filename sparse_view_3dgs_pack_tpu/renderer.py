@@ -104,9 +104,13 @@ def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
         from .ops.pallas.raster_vjp import make_pallas_rasterizer
         C = proj.colors.shape[-1]
         # inference uses 32x16 tiles: ~30% fewer pairs (less horizontal
-        # duplication) and half the per-tile kernel programs; training
-        # stays on the 16x16 tiles the backward kernel requires
-        tx, ty = (32, 16) if inference else (config.tile, config.tile)
+        # duplication) and half the per-tile kernel programs; the training
+        # tile width is configurable (both kernels are tile-shape generic)
+        if inference:
+            tx, ty = 32, 16
+        else:
+            tx = getattr(config, "train_tile_x", 0) or config.tile
+            ty = config.tile
         ba = bin_gaussians(
             jax.lax.stop_gradient(proj.means2d),
             jax.lax.stop_gradient(proj.depths), proj.radii,

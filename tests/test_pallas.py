@@ -41,10 +41,12 @@ def _proj(n=250, seed=0, concentrate=False):
         width=W, height=H, sh=jnp.asarray(cloud["features"]), sh_degree=0)
 
 
-def _run_pallas(proj, bg, grad=False, max_pairs=1 << 13):
+def _run_pallas(proj, bg, grad=False, max_pairs=1 << 13,
+                tile_x=16, tile_y=16):
     ba = bin_gaussians(proj.means2d, proj.depths, proj.radii, W, H,
-                               max_pairs)
-    fn = make_pallas_rasterizer(W, H, proj.colors.shape[-1])
+                               max_pairs, tile_x, tile_y)
+    fn = make_pallas_rasterizer(W, H, proj.colors.shape[-1],
+                                tile_x=tile_x, tile_y=tile_y)
     args = (proj.means2d, proj.depths, proj.conics, proj.colors,
             proj.opacities, ba.ids, ba.tile_starts, ba.tile_counts, bg)
 
@@ -110,6 +112,23 @@ def test_pallas_gradients_match_oracle():
         mask = np.asarray(proj.radii) > 0
         ga = ga[mask]
         rga = rga[mask]
+        scale = max(np.abs(rga).max(), 1e-3)
+        np.testing.assert_allclose(ga, rga, atol=3e-5 * scale, rtol=2e-3,
+                                   err_msg=name)
+        assert np.abs(ga).max() > 0, f"zero grads for {name}"
+
+
+def test_pallas_gradients_match_oracle_32x16():
+    """Rectangular training tiles: the backward kernel is tile-shape
+    generic; 32x16 gradients must match the oracle exactly like 16x16."""
+    proj = _proj(n=150, seed=3)
+    bg = jnp.array([0.2, 0.05, 0.1])
+    _, grads, gw, _ = _run_pallas(proj, bg, grad=True, tile_x=32, tile_y=16)
+    _, ref_grads = _oracle(proj, bg, gw)
+    names = ("means2d", "depths", "conics", "colors", "opacities")
+    mask = np.asarray(proj.radii) > 0
+    for g, rg, name in zip(grads, ref_grads, names):
+        ga, rga = np.asarray(g)[mask], np.asarray(rg)[mask]
         scale = max(np.abs(rga).max(), 1e-3)
         np.testing.assert_allclose(ga, rga, atol=3e-5 * scale, rtol=2e-3,
                                    err_msg=name)
