@@ -101,7 +101,7 @@ def run_one(scene_dir, model_path, iters, pseudo_on, size):
                           inference=True,
                           use_pallas=jax.default_backend() not in ("cpu",))
         gt = jnp.asarray(cam.image)
-        psnrs.append(float(psnr_fn(jnp.clip(res.color, 0, 1), gt)))
+        psnrs.append(float(psnr_fn(jnp.clip(res.render, 0, 1), gt)))
     return float(np.mean(psnrs)), int(state.n_alive)
 
 
