@@ -149,13 +149,16 @@ def bin_gaussians(means2d, depths, radii, width: int, height: int,
                    pair_tiles=None)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "max_pairs", "tile"))
+@partial(jax.jit, static_argnames=("width", "height", "max_pairs", "tile",
+                                   "tile_y"))
 def bin_gaussians_with_tiles(means2d, depths, radii, width: int, height: int,
-                             max_pairs: int, tile: int = TILE) -> Binning:
+                             max_pairs: int, tile: int = TILE,
+                             tile_y: int = None) -> Binning:
     """bin_gaussians + the per-pair tile id (needed by the aligned variant
     and some diagnostics)."""
-    b = bin_gaussians(means2d, depths, radii, width, height, max_pairs, tile)
-    grid_x, grid_y = tile_grid(width, height, tile)
+    b = bin_gaussians(means2d, depths, radii, width, height, max_pairs, tile,
+                      tile_y)
+    grid_x, grid_y = tile_grid(width, height, tile, tile_y)
     num_tiles = grid_x * grid_y
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
     # recover each sorted pair's tile from the range structure: tile of slot
@@ -169,10 +172,10 @@ def bin_gaussians_with_tiles(means2d, depths, radii, width: int, height: int,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_pairs", "tile",
-                                   "align"))
+                                   "tile_y", "align"))
 def bin_gaussians_aligned(means2d, depths, radii, width: int, height: int,
                           max_pairs: int, tile: int = TILE,
-                          align: int = CHUNK) -> Binning:
+                          tile_y: int = None, align: int = CHUNK) -> Binning:
     """Binning with every tile's range start aligned to `align` pairs.
 
     Each tile's pair count is padded up to a multiple of `align` with
@@ -186,10 +189,10 @@ def bin_gaussians_aligned(means2d, depths, radii, width: int, height: int,
     alignment under a 256 chunk lets tile t's last write clobber tile t+1's
     first 128 pair gradients).
     """
-    grid_x, grid_y = tile_grid(width, height, tile)
+    grid_x, grid_y = tile_grid(width, height, tile, tile_y)
     num_tiles = grid_x * grid_y
     b = bin_gaussians_with_tiles(means2d, depths, radii, width, height,
-                                 max_pairs, tile)
+                                 max_pairs, tile, tile_y)
 
     pad = (-b.tile_counts) % align
     cum_pad = jnp.cumsum(pad) - pad                     # exclusive

@@ -104,6 +104,9 @@ def pack_fields(means2d, depths, conics, colors, opacities,
         mode=jax.lax.GatherScatterMode.CLIP)
 
 
+UNIT = 2  # chunks per DMA unit (consecutive chunk blocks are contiguous)
+
+
 def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
                 mm_precision, compute_n_contrib, tile_x, tile_y,
                 # scalar prefetch
@@ -113,7 +116,7 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
                 # outputs
                 out_ref,
                 # scratch
-                buf, sems):
+                buf, sems, accum_ref, misc_ref):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -124,6 +127,10 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
     n_chunks = jnp.where(
         count > 0,
         jnp.minimum((head + count + CHUNK - 1) // CHUNK, max_chunks), 0)
+    # DMA in UNIT-chunk units: per-DMA issue + per-iteration loop overhead
+    # were ~60% of this kernel at 1080p (measured: null-body kernel = 9.7 of
+    # 16.2 ms); two contiguous chunk blocks per copy halve both.
+    n_units = (n_chunks + UNIT - 1) // UNIT
 
     pix = tile_x * tile_y
     # tile-local pixel coordinates come in as a precomputed constant (host
@@ -135,21 +142,23 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
 
     blk0 = start // CHUNK   # first chunk block (chunk-major pair layout)
 
-    def dma(slot, k):
+    def udma(sem, bufbase, u):
         return pltpu.make_async_copy(
-            pairs_hbm.at[blk0 + k], buf.at[slot], sems.at[slot])
+            pairs_hbm.at[pl.ds(blk0 + UNIT * u, UNIT)],
+            buf.at[pl.ds(bufbase, UNIT)], sems.at[sem])
 
-    # chunk 0 lives in a dedicated per-tile-parity slot: tile t's chunk 0 was
-    # prefetched by grid step t-1 (t=0 issues its own), and we prefetch tile
-    # t+1's chunk 0 now — its slot (4 + (t+1)%2) is idle for all of step t.
-    # Interior chunks rotate through 4 slots at prefetch distance 3: one
-    # chunk of compute (~0.35 µs) is far below HBM DMA latency (~1 µs), so
-    # double-buffering alone stalls ~0.6 µs per chunk.
-    slot0 = 4 + (t % 2)
+    # Unit 0 lives in a dedicated per-tile-parity slot (sems 4/5, buf rows
+    # 4·UNIT..6·UNIT): tile t's unit 0 was prefetched by grid step t-1 (t=0
+    # issues its own), and we prefetch tile t+1's unit 0 now — its slot is
+    # idle for all of step t. Un-hidden, the 4080 first-chunk DMA latencies
+    # at 1080p alone cost ~3 ms. Interior units rotate through 4 slots at
+    # prefetch distance 3.
+    psem = 4 + (t % 2)
+    pbase = (4 + (t % 2)) * UNIT
 
     @pl.when((t == 0) & (count > 0))
     def _():
-        dma(slot0, 0).start()
+        udma(psem, pbase, 0).start()
 
     @pl.when(t + 1 < num_tiles)
     def _():
@@ -157,18 +166,18 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
 
         @pl.when(ncount > 0)
         def _():
-            nslot = 4 + ((t + 1) % 2)
             pltpu.make_async_copy(
-                pairs_hbm.at[starts_ref[t + 1] // CHUNK],
-                buf.at[nslot], sems.at[nslot]).start()
+                pairs_hbm.at[pl.ds(starts_ref[t + 1] // CHUNK, UNIT)],
+                buf.at[pl.ds((4 + ((t + 1) % 2)) * UNIT, UNIT)],
+                sems.at[4 + ((t + 1) % 2)]).start()
 
-    @pl.when(n_chunks > 1)
+    @pl.when(n_units > 1)
     def _():
-        dma(1, 1).start()
+        udma(1, UNIT, 1).start()
 
-    @pl.when(n_chunks > 2)
+    @pl.when(n_units > 2)
     def _():
-        dma(2, 2).start()
+        udma(2, 2 * UNIT, 2).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     # cumsum along the chunk axis as an MXU matmul with an upper-triangular
@@ -177,16 +186,14 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
     col_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
     triu_ones = (row_i <= col_i).astype(jnp.float32)
 
-    def body(state):
-        k, log_t, done, accum, n_contrib, stop = state
-        slot = jnp.where(k == 0, slot0, k % 4)
+    # accumulators live in scratch refs, not while-loop carries: misc_ref
+    # columns are [log_t, done, n_contrib, unused]
+    accum_ref[...] = jnp.zeros((pix, 8), jnp.float32)
+    misc_ref[...] = jnp.zeros((pix, 4), jnp.float32)
 
-        @pl.when((k + 3 < n_chunks) & (k + 3 > 2))
-        def _():
-            dma((k + 3) % 4, k + 3).start()
-
-        dma(slot, k).wait()
-        d = buf[slot]                                   # (16, CHUNK)
+    def chunk_compute(d, k):
+        """Blend one (16, CHUNK) chunk into the scratch accumulators."""
+        log_t = misc_ref[:, 0:1]
         mx = d[0:1, :] - txf                            # tile-local means
         my = d[1:2, :] - tyf
         ca = d[2:3, :]
@@ -199,7 +206,7 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
         # catastrophic cancellation for small gaussians — 26 dB of image
         # error at DEFAULT) and at 6-pass HIGHEST it is slower than these 9
         # VPU ops. The backward uses the matmul form (it needs Fpix anyway).
-        dx = px - mx                                    # (256, CHUNK)
+        dx = px - mx                                    # (pix, CHUNK)
         dy = py - my
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         G = jnp.exp(jnp.minimum(power, 0.0))
@@ -213,7 +220,7 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
         s_incl = log_t + jax.lax.dot_general(
             log1m, triu_ones, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=mm_precision)                      # (256, CHUNK)
+            precision=mm_precision)                      # (pix, CHUNK)
         s_excl = s_incl - log1m
         if compute_n_contrib:
             # CUDA's T<1e-4 stop is PERMANENT: contribution must be a prefix
@@ -223,66 +230,86 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
             # threshold — the sticky `done` flag forbids that. `valid` keeps
             # head/tail padding lanes out of n_contrib (still a prefix:
             # valid is itself a contiguous range).
+            done = misc_ref[:, 1:2]
             contribute = (s_incl >= LOG_T_EPS) & (done < 0.5) & valid
-            done = jnp.maximum(
+            misc_ref[:, 1:2] = jnp.maximum(
                 done, (s_incl[:, -1:] < LOG_T_EPS).astype(jnp.float32))
             w = jnp.where(contribute, alpha * jnp.exp(s_excl), 0.0)
         else:
             # inference: non-sticky cutoff — post-threshold terms carry
-            # weight < 1e-4, radiometrically invisible, and this kernel is
-            # VPU-issue-bound (each dropped (256,CHUNK) op is ~4% of it)
+            # weight < 1e-4, radiometrically invisible
             w = alpha * jnp.exp(s_excl)
 
         payload = d[6:14, :]                            # (8, CHUNK)
-        accum = accum + jax.lax.dot_general(
+        accum_ref[...] += jax.lax.dot_general(
             w, payload, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=mm_precision)                      # (256, 8)
+            precision=mm_precision)                      # (pix, 8)
         if compute_n_contrib:   # only the backward replay needs it
-            n_contrib = n_contrib + jnp.sum(
+            misc_ref[:, 2:3] += jnp.sum(
                 contribute.astype(jnp.float32), axis=1, keepdims=True)
-            log_t = log_t + jnp.sum(jnp.where(contribute, log1m, 0.0),
-                                    axis=1, keepdims=True)
+            misc_ref[:, 0:1] = log_t + jnp.sum(
+                jnp.where(contribute, log1m, 0.0), axis=1, keepdims=True)
         else:
-            log_t = s_incl[:, -1:]                       # all lanes counted
+            misc_ref[:, 0:1] = s_incl[:, -1:]            # all lanes counted
+
+    def body(state):
+        u, stop = state
+        sem = jnp.where(u == 0, psem, u % 4)
+        bufbase = jnp.where(u == 0, pbase, (u % 4) * UNIT)
+
+        @pl.when((u + 3 < n_units) & (u + 3 > 2))
+        def _():
+            udma((u + 3) % 4, ((u + 3) % 4) * UNIT, u + 3).start()
+
+        pltpu.make_async_copy(
+            pairs_hbm.at[pl.ds(blk0 + UNIT * u, UNIT)],
+            buf.at[pl.ds(bufbase, UNIT)], sems.at[sem]).wait()
+        chunk_compute(buf[bufbase], UNIT * u)
+        for j in range(1, UNIT):
+            @pl.when(UNIT * u + j < n_chunks)
+            def _(j=j):
+                chunk_compute(buf[bufbase + j], UNIT * u + j)
+
         if early_exit:
             # the all-pixels-done reduction is a vector→scalar sync
-            # (~150 ns); amortise it over 4 chunks
-            done_src = done if compute_n_contrib else \
-                (s_incl[:, -1:] < LOG_T_EPS).astype(jnp.float32)
-            stop = jax.lax.cond(
-                (k & 3) == 3,
-                lambda d: (jnp.min(d) >= 0.5).astype(jnp.int32),
-                lambda d: stop, done_src)
-        return k + 1, log_t, done, accum, n_contrib, stop
+            # (~150 ns); amortise it over 2 units (4 chunks — the same
+            # cadence as the previous per-chunk loop)
+            if compute_n_contrib:
+                check = lambda: (jnp.min(misc_ref[:, 1:2]) >= 0.5)\
+                    .astype(jnp.int32)
+            else:
+                check = lambda: (jnp.max(misc_ref[:, 0:1]) < LOG_T_EPS)\
+                    .astype(jnp.int32)
+            stop = jax.lax.cond((u & 1) == 1, check, lambda: stop)
+        return u + 1, stop
 
     def cond(state):
-        k, _, _, _, _, stop = state
+        u, stop = state
         if early_exit:
-            return (k < n_chunks) & (stop == 0)
-        return k < n_chunks
+            return (u < n_units) & (stop == 0)
+        return u < n_units
 
-    init = (jnp.asarray(0, jnp.int32),
-            jnp.zeros((pix, 1), jnp.float32),
-            jnp.zeros((pix, 1), jnp.float32),
-            jnp.zeros((pix, 8), jnp.float32),
-            jnp.zeros((pix, 1), jnp.float32),
-            jnp.asarray(0, jnp.int32))
-    k, log_t, done, accum, n_contrib, _ = jax.lax.while_loop(cond, body,
-                                                             init)
+    u, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),
+                                           jnp.asarray(0, jnp.int32)))
 
-    # Early exit leaves up to 3 prefetched chunk DMAs in flight; drain them
-    # so the next grid step's scratch/semaphore state is clean. (Early exit
-    # implies k >= 1, so these are interior slots.)
+    # Early exit leaves up to 3 prefetched unit DMAs in flight; drain them
+    # so the next grid step's scratch/semaphore state is clean.
     for j in range(3):
-        @pl.when(k + j < n_chunks)
+        @pl.when(u + j < n_units)
         def _(j=j):
-            dma((k + j) % 4, k + j).wait()
+            sem = jnp.where(u + j == 0, psem, (u + j) % 4)
+            bufbase = jnp.where(u + j == 0, pbase, ((u + j) % 4) * UNIT)
+            pltpu.make_async_copy(
+                pairs_hbm.at[pl.ds(blk0 + UNIT * (u + j), UNIT)],
+                buf.at[pl.ds(bufbase, UNIT)], sems.at[sem]).wait()
 
     # background composite on the color channels
+    log_t = misc_ref[:, 0:1]
+    n_contrib = misc_ref[:, 2:3]
     t_final = jnp.exp(log_t)                            # (pix, 1)
     bg = bg_ref[0:1, :]                                 # (1, 8); zeros past C
-    color = accum + t_final * bg                        # (pix, 8)
+    color = accum_ref[...] + t_final * bg               # (pix, 8)
     # single full-block write: [blend(8), log_t, n_contrib, zeros(6)]
     out_ref[0] = jnp.concatenate(
         [color, log_t, n_contrib, jnp.zeros((pix, 6), jnp.float32)], axis=1)
@@ -327,10 +354,12 @@ def rasterize_forward_pallas(pair_data, tile_starts, tile_counts,
         out_specs=pl.BlockSpec((1, pix, 16), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            # slots 0-3: interior rotation (distance-3 prefetch);
-            # 4/5: chunk-0 per tile parity
-            pltpu.VMEM((6, DROWS, CHUNK), jnp.float32),
+            # unit slots 0-3 (UNIT chunk rows each): interior rotation at
+            # prefetch distance 3; slots 4/5: unit-0 per-tile parity
+            pltpu.VMEM((6 * UNIT, DROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((6,)),
+            pltpu.VMEM((pix, 8), jnp.float32),   # blend accumulator
+            pltpu.VMEM((pix, 4), jnp.float32),   # [log_t, done, n_contrib]
         ],
     )
     out = pl.pallas_call(
