@@ -49,8 +49,6 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
     # 32x16 inference tiles (matches render_core's inference path): ~30%
     # fewer pairs than 16x16 (0.72M real at 1080p) + half the tile programs
     tile_x, tile_y = 32, 16
-    # buckets need not be powers of two
-    max_pairs = 1_048_576
 
     params = {
         "xyz": jnp.asarray(cloud["xyz"]),
@@ -59,6 +57,30 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
         "opac": jax.nn.sigmoid(jnp.asarray(cloud["opacity"][:, 0])),
         "sh": jnp.asarray(cloud["features"]),
     }
+
+    # right-size the pair bucket for this scene: every binning/pack/sort
+    # pass scales with it. Same policy as the training loop (grow on
+    # overflow, shrink oversized) applied up-front via the exact pair count.
+    from sparse_view_3dgs_pack_tpu.ops.binning import count_pairs
+
+    def pairs_of(viewmat, full_proj, cam_center, tanx, tany):
+        proj = project_gaussians(
+            means3d=params["xyz"], scales=params["scales"],
+            quats=params["quats"], opacities=params["opac"],
+            viewmat=viewmat, full_proj=full_proj, cam_center=cam_center,
+            tan_fovx=tanx, tan_fovy=tany, width=width, height=height,
+            sh=params["sh"], sh_degree=0)
+        return count_pairs(proj.means2d, proj.depths, proj.radii,
+                           width, height, tile_x, tile_y)
+
+    jp = jax.jit(pairs_of)
+    worst = max(int(jp(jnp.asarray(c.params().viewmat),
+                       jnp.asarray(c.params().full_proj),
+                       jnp.asarray(c.params().cam_center),
+                       jnp.asarray(c.params().tan_fovx),
+                       jnp.asarray(c.params().tan_fovy)))
+                for c in cams)
+    max_pairs = ((int(worst * 1.06) + 127) // 128) * 128
 
     raster_fn = make_pallas_rasterizer(width, height, 3, inference=True,
                                        tile_x=tile_x, tile_y=tile_y)

@@ -227,8 +227,10 @@ def bin_gaussians_aligned(means2d, depths, radii, width: int, height: int,
                    total_pairs=reported.astype(jnp.int32))
 
 
-def count_pairs(means2d, depths, radii, width, height, tile: int = TILE):
+def count_pairs(means2d, depths, radii, width, height, tile: int = TILE,
+                tile_y: int = None):
     """Host-callable exact pair count (for choosing `max_pairs` buckets)."""
-    min_x, max_x, min_y, max_y = gaussian_rects(means2d, radii, width, height, tile)
+    min_x, max_x, min_y, max_y = gaussian_rects(means2d, radii, width,
+                                                height, tile, tile_y)
     touched = jnp.where(radii > 0, (max_x - min_x) * (max_y - min_y), 0)
     return jnp.sum(touched)
