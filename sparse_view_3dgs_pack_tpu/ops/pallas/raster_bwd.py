@@ -104,14 +104,27 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks, tile_x, tile_y, pix,
     tril_incl = (row_i >= col_i).astype(jnp.float32)   # reverse-cumsum incl
     tril_excl = (row_i > col_i).astype(jnp.float32)    # reverse-cumsum excl
 
-    def dma_in(slot, k):
-        return pltpu.make_async_copy(
-            pairs_hbm.at[blk0 + k], buf.at[slot], sems.at[slot])
-
     first = n_chunks - 1  # reverse order
-    # the first-processed chunk (the tile's LAST chunk) was prefetched by the
-    # previous grid step into the tile-parity slot; prefetch the next tile's
-    # now (its slot is idle throughout this step)
+    # 2-chunk DMA units (see the forward kernel: per-DMA issue + loop
+    # overhead dominate at production tile counts; the backward pays it
+    # TWICE per chunk — in-copy and grad write-out). Unit u covers chunks
+    # (hi, hi-1) with hi = first - 2u, processed hi first (back-to-front);
+    # its window is blocks [hi-1, hi+1) — row 0 = lo, row 1 = hi — except
+    # hi == 0, whose window is blocks [0, 2) with chunk 0 at row 0. Chunk 0
+    # therefore always sits at window row 0 (the RMW merge relies on this).
+    n_units = (n_chunks + 1) // 2
+
+    def unit_ws(hi):
+        return blk0 + jnp.maximum(hi - 1, 0)
+
+    def dma_in(slot, hi):
+        return pltpu.make_async_copy(
+            pairs_hbm.at[pl.ds(unit_ws(hi), 2)],
+            buf.at[pl.ds(slot * 2, 2)], sems.at[slot])
+
+    # the first-processed unit (the tile's LAST chunks) was prefetched by
+    # the previous grid step into the tile-parity slot; prefetch the next
+    # tile's now (its slot is idle throughout this step)
     slot0 = 2 + (t % 2)
 
     @pl.when((t == 0) & (count > 0))
@@ -131,21 +144,13 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks, tile_x, tile_y, pix,
                 max_chunks)
             nslot = 2 + ((t + 1) % 2)
             pltpu.make_async_copy(
-                pairs_hbm.at[nblk0 + nchunks - 1],
-                buf.at[nslot], sems.at[nslot]).start()
+                pairs_hbm.at[pl.ds(nblk0 + jnp.maximum(nchunks - 2, 0), 2)],
+                buf.at[pl.ds(nslot * 2, 2)], sems.at[nslot]).start()
 
-    def body(state):
-        i, c_log, s_carry = state        # i counts processed chunks
-        k = first - i                    # actual chunk index (reverse)
-        slot = jnp.where(i == 0, slot0, i % 2)
-        oslot = i % 2
-
-        @pl.when(i + 1 < n_chunks)
-        def _():
-            dma_in((i + 1) % 2, k - 1).start()
-
-        dma_in(slot, k).wait()
-        d = buf[slot]                    # (16, CHUNK)
+    def chunk_core(d, k, c_log, s_carry):
+        """Pure per-chunk gradient compute: → ((16, CHUNK) grad rows,
+        new carries). Kept side-effect free so the second (lo) chunk of a
+        unit can run under `lax.cond`."""
         mx = d[0:1, :] - txf             # tile-local means
         my = d[1:2, :] - tyf
         ca = d[2:3, :]
@@ -225,60 +230,105 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks, tile_x, tile_y, pix,
                                         preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
-        def out_dma(s, chunk_idx):
-            return pltpu.make_async_copy(
-                gbuf.at[s], grads_hbm.at[blk0 + chunk_idx], osem.at[s])
-
-        # double-buffered write-out: drain the copy issued 2 chunks ago
-        # (chunk k+2, same slot) before overwriting the buffer
-        @pl.when(i >= 2)
-        def _():
-            out_dma(oslot, k + 2).wait()
-
-        gbuf[oslot, 0:1, :] = d_mx
-        gbuf[oslot, 1:2, :] = d_my
-        gbuf[oslot, 2:3, :] = d_a
-        gbuf[oslot, 3:4, :] = d_b
-        gbuf[oslot, 4:5, :] = d_c
-        gbuf[oslot, 5:6, :] = d_opacity
-        gbuf[oslot, 6:14, :] = d_payload                  # (8, CHUNK)
-        gbuf[oslot, 14:16, :] = jnp.zeros((2, CHUNK), jnp.float32)
-
-        # shared boundary chunk: accumulate previous tiles' gradients
-        # (prefetched at step start; our own lanes are zero there and theirs
-        # are zero in our mask, so a plain add merges exactly)
-        @pl.when((k == 0) & (head > 0))
-        def _():
-            pltpu.make_async_copy(grads_hbm.at[blk0], rbuf, rsem).wait()
-            gbuf[oslot] = gbuf[oslot] + rbuf[:, :]
-
-        out_dma(oslot, k).start()
-
+        gout = jnp.concatenate([
+            d_mx, d_my, d_a, d_b, d_c, d_opacity, d_payload,
+            jnp.zeros((2, CHUNK), jnp.float32)], axis=0)  # (16, CHUNK)
         new_c_log = c_log + jnp.sum(jnp.where(contrib, log1m, 0.0), axis=1,
                                     keepdims=True)
         new_s = s_carry + jnp.sum(wgc, axis=1, keepdims=True)
-        return i + 1, new_c_log, new_s
+        return gout, new_c_log, new_s
+
+    def out_full(s, hi):
+        """Write a full unit window (2 blocks) of gradients."""
+        return pltpu.make_async_copy(
+            gbuf.at[pl.ds(s * 2, 2)],
+            grads_hbm.at[pl.ds(unit_ws(hi), 2)], osem.at[s])
+
+    def out_partial(s):
+        """Write only chunk 0's block (odd-chunk-count final unit)."""
+        return pltpu.make_async_copy(
+            gbuf.at[pl.ds(s * 2, 1)],
+            grads_hbm.at[pl.ds(blk0, 1)], osem.at[s])
+
+    def body(state):
+        u, c_log, s_carry = state        # u counts processed units
+        hi = first - 2 * u               # unit's first chunk (reverse order)
+        lo = hi - 1
+        slot = jnp.where(u == 0, slot0, u % 2)
+        oslot = u % 2
+
+        @pl.when(u + 1 < n_units)
+        def _():
+            dma_in((u + 1) % 2, hi - 2).start()
+
+        dma_in(slot, hi).wait()
+        # drain the out-copy issued 2 units ago (same slot) before
+        # overwriting its buffer rows; unit u-2 has hi >= 2, always full
+        @pl.when(u >= 2)
+        def _():
+            out_full(oslot, hi + 4).wait()
+
+        # chunk hi first (back-to-front blend order), then lo with hi's
+        # updated carries. lo's compute is pure and runs under lax.cond
+        # (lo < 0 only in the final, odd-chunk-count unit).
+        hrow = jnp.minimum(hi, 1)        # window row of chunk hi
+        g_hi, c_log, s_carry = chunk_core(buf[slot * 2 + hrow], hi,
+                                          c_log, s_carry)
+        gbuf[oslot * 2 + hrow] = g_hi
+
+        d_lo = buf[slot * 2]             # window row 0 (always in bounds)
+        g_lo, clo, slo = jax.lax.cond(
+            lo >= 0,
+            lambda cl, sc: chunk_core(d_lo, lo, cl, sc),
+            lambda cl, sc: (jnp.zeros((GROWS, CHUNK), jnp.float32), cl, sc),
+            c_log, s_carry)
+
+        @pl.when(lo >= 0)
+        def _():
+            gbuf[oslot * 2] = g_lo
+
+        # shared boundary chunk: accumulate previous tiles' gradients
+        # (prefetched at step start; our own lanes are zero there and theirs
+        # are zero in our mask, so a plain add merges exactly). Chunk 0 is
+        # always window row 0 and always in this tile's final unit.
+        @pl.when((lo <= 0) & (head > 0))
+        def _():
+            pltpu.make_async_copy(grads_hbm.at[blk0], rbuf, rsem).wait()
+            gbuf[oslot * 2] = gbuf[oslot * 2] + rbuf[:, :]
+
+        @pl.when(lo >= 0)
+        def _():
+            out_full(oslot, hi).start()
+
+        @pl.when(lo < 0)
+        def _():
+            out_partial(oslot).start()
+
+        return u + 1, clo, slo
 
     def cond(state):
-        i, _, _ = state
-        return i < n_chunks
+        return state[0] < n_units
 
     init = (jnp.asarray(0, jnp.int32),
             jnp.zeros((pix, 1), jnp.float32),
             jnp.zeros((pix, 1), jnp.float32))
-    i, _, _ = jax.lax.while_loop(cond, body, init)
+    u, _, _ = jax.lax.while_loop(cond, body, init)
 
-    # drain outstanding OUTPUT copies (last up-to-2 chunks processed)
-    def drain_out(j):
-        @pl.when(i >= j)
-        def _():
-            chunk_idx = first - (i - j)
-            pltpu.make_async_copy(gbuf.at[(i - j) % 2],
-                                  grads_hbm.at[blk0 + chunk_idx],
-                                  osem.at[(i - j) % 2]).wait()
+    # drain outstanding OUTPUT copies (the last up-to-2 units)
+    for j in (2, 1):
+        @pl.when(u >= j)
+        def _(j=j):
+            uj = u - j                   # unit index still in flight
+            hi_j = first - 2 * uj
+            s = uj % 2
 
-    drain_out(1)
-    drain_out(2)
+            @pl.when(hi_j >= 1)
+            def _():
+                out_full(s, hi_j).wait()
+
+            @pl.when(hi_j < 1)
+            def _():
+                out_partial(s).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "max_chunks",
@@ -315,9 +365,10 @@ def rasterize_backward_pallas(pair_data, tile_starts, tile_counts,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            # in slots 0/1: interior double-buffer; 2/3: per-parity last-chunk
-            pltpu.VMEM((4, DROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((2, GROWS, CHUNK), jnp.float32),
+            # 2-chunk unit slots (2 rows each): 0/1 interior double-buffer,
+            # 2/3 per-parity first-processed unit
+            pltpu.VMEM((8, DROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((4, GROWS, CHUNK), jnp.float32),  # out units 0/1
             pltpu.VMEM((GROWS, CHUNK), jnp.float32),            # RMW buffer
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
