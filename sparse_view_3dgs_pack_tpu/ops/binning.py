@@ -112,27 +112,50 @@ def bin_gaussians(means2d, depths, radii, width: int, height: int,
         jnp.uint32(32 - depth_bits)).astype(jnp.int32)
 
     # expand per-gaussian attributes to per-pair slots via scatter+cumsum
-    # (no gathers anywhere on the 2M side before the sort)
+    # (no gathers anywhere on the 2M side before the sort). Each expansion
+    # is a full streaming pass over the pair bucket, so the base-tile and
+    # depth-key columns ride ONE fused expansion: K0 = (base_tile << db) |
+    # dbits in int32 with two's-complement wraparound — diff/scatter/cumsum
+    # are exact mod 2^32, and the final reinterpretation as u32 recovers
+    # the packed key.
     gauss_ids = _expand_by_offsets(jnp.arange(P, dtype=jnp.int32), offsets,
                                    max_pairs)
-    rw = _expand_by_offsets(jnp.maximum(rect_w, 1), offsets, max_pairs)
-    offs = _expand_by_offsets(offsets, offsets, max_pairs)
-    # base = first tile of the rect; dkey packed in the same expansion
+    # rect width and pair offset share one expansion: rw needs
+    # ceil(log2(grid_x+1)) bits, offs gets the rest of the i32
+    rw_bits = grid_x.bit_length()
+    assert max_pairs < 1 << (31 - rw_bits), \
+        "pair bucket too large for the fused offs|rw expansion"
+    offs_rw = _expand_by_offsets(
+        (offsets << rw_bits) | jnp.maximum(rect_w, 1), offsets, max_pairs)
+    offs = offs_rw >> rw_bits
+    rw = offs_rw & ((1 << rw_bits) - 1)
     base_tile = min_y * grid_x + min_x
-    base = _expand_by_offsets(base_tile, offsets, max_pairs)
-    dkey = _expand_by_offsets(dbits, offsets, max_pairs)
+    k0 = jax.lax.bitcast_convert_type(
+        (base_tile.astype(jnp.uint32) << depth_bits)
+        | jax.lax.bitcast_convert_type(dbits, jnp.uint32), jnp.int32)
+    k0_pairs = _expand_by_offsets(k0, offsets, max_pairs)
 
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
     pair_valid = slot < total
     j = slot - offs
-    tile_id = jnp.where(pair_valid, base + (j // rw) * grid_x + j % rw,
-                        num_tiles)
+    # j // rw via correctly-rounded f32 division: exact for
+    # 0 <= j < 2^24, rw <= 2^rw_bits — an exact multiple k·rw divides to
+    # exactly k, and k + r/rw with r <= rw-1 sits at least 1/rw below k+1,
+    # far outside one rounding step. (A reciprocal-multiply would round
+    # twice and can cross the boundary.) Integer div/mod lowers to a much
+    # slower sequence on the VPU.
+    jq = jnp.floor(j.astype(jnp.float32) /
+                   rw.astype(jnp.float32)).astype(jnp.int32)
+    delta_tile = jq * grid_x + (j - jq * rw)   # tile offset within the rect
 
     # single packed u32 key (CUDA: 64-bit [tile|depth] radix sort,
     # `rasterizer_impl.cu:306-311`); invalid pairs get the max tile id and
     # sort to the tail, outside every tile's range
-    key = (tile_id.astype(jnp.uint32) << depth_bits) | \
-        dkey.astype(jnp.uint32)
+    key = jnp.where(
+        pair_valid,
+        jax.lax.bitcast_convert_type(
+            k0_pairs + (delta_tile << depth_bits), jnp.uint32),
+        jnp.uint32(num_tiles) << depth_bits)
     sorted_key, sorted_ids = jax.lax.sort((key, gauss_ids), num_keys=1,
                                           is_stable=True)
 
@@ -141,8 +164,6 @@ def bin_gaussians(means2d, depths, radii, width: int, height: int,
                               method="scan_unrolled").astype(jnp.int32)
     starts = bounds[:-1]
     counts = bounds[1:] - starts
-    # pair_tiles (sorted_key >> depth_bits) costs a 2M-element pass and no
-    # production path needs it; bin_gaussians_with_tiles computes it
     return Binning(ids=sorted_ids, tile_starts=starts,
                    tile_counts=counts,
                    total_pairs=total.astype(jnp.int32),
