@@ -70,7 +70,7 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
             viewmat=viewmat, full_proj=full_proj, cam_center=cam_center,
             tan_fovx=tanx, tan_fovy=tany, width=width, height=height,
             sh=params["sh"], sh_degree=0)
-        return count_pairs(proj.means2d, proj.depths, proj.radii,
+        return count_pairs(proj.means2d, proj.depths, proj.rect_radii,
                            width, height, tile_x, tile_y)
 
     jp = jax.jit(pairs_of)
@@ -91,7 +91,7 @@ def bench_render(width=1920, height=1080, n=200_000, frames=10):
             opacities=p["opac"], viewmat=viewmat, full_proj=full_proj,
             cam_center=cam_center, tan_fovx=tanx, tan_fovy=tany,
             width=width, height=height, sh=p["sh"], sh_degree=0)
-        ba = bin_gaussians(proj.means2d, proj.depths, proj.radii,
+        ba = bin_gaussians(proj.means2d, proj.depths, proj.rect_radii,
                            width, height, max_pairs, tile_x, tile_y)
         color, _, _, _ = raster_fn(proj.means2d, proj.depths, proj.conics,
                                    proj.colors, proj.opacities, ba.ids,

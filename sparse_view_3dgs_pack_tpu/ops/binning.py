@@ -47,17 +47,29 @@ def tile_grid(width: int, height: int, tile: int = TILE,
     return (width + tile - 1) // tile, (height + ty - 1) // ty
 
 
+def _split_radii(radii):
+    """radii as (P,) square half-side or (P, 2) per-axis [rx, ry] (the AABB
+    rect from `projection.Projected.rect_radii`). Returns f32 rx, ry and the
+    per-gaussian liveness mask (every axis must be positive)."""
+    if radii.ndim == 2:
+        rx = radii[:, 0].astype(jnp.float32)
+        ry = radii[:, 1].astype(jnp.float32)
+        return rx, ry, jnp.min(radii, axis=1) > 0
+    r = radii.astype(jnp.float32)
+    return r, r, radii > 0
+
+
 def gaussian_rects(means2d, radii, width, height, tile: int = TILE,
                    tile_y: int = None):
     """Clamped tile rect per Gaussian (reference `getRect`,
-    `cuda_rasterizer/auxiliary.h`)."""
+    `cuda_rasterizer/auxiliary.h`); radii may be per-axis (P, 2)."""
     ty = tile if tile_y is None else tile_y
     grid_x, grid_y = tile_grid(width, height, tile, ty)
-    r = radii.astype(jnp.float32)
-    min_x = jnp.clip(((means2d[:, 0] - r) / tile).astype(jnp.int32), 0, grid_x)
-    max_x = jnp.clip(((means2d[:, 0] + r + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
-    min_y = jnp.clip(((means2d[:, 1] - r) / ty).astype(jnp.int32), 0, grid_y)
-    max_y = jnp.clip(((means2d[:, 1] + r + ty - 1) / ty).astype(jnp.int32), 0, grid_y)
+    rx, ry, _ = _split_radii(radii)
+    min_x = jnp.clip(((means2d[:, 0] - rx) / tile).astype(jnp.int32), 0, grid_x)
+    max_x = jnp.clip(((means2d[:, 0] + rx + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
+    min_y = jnp.clip(((means2d[:, 1] - ry) / ty).astype(jnp.int32), 0, grid_y)
+    max_y = jnp.clip(((means2d[:, 1] + ry + ty - 1) / ty).astype(jnp.int32), 0, grid_y)
     return min_x, max_x, min_y, max_y
 
 
@@ -96,8 +108,9 @@ def bin_gaussians(means2d, depths, radii, width: int, height: int,
 
     min_x, max_x, min_y, max_y = gaussian_rects(means2d, radii, width,
                                                 height, tile, tile_y)
+    _, _, r_live = _split_radii(radii)
     rect_w = max_x - min_x
-    touched = jnp.where(radii > 0, rect_w * (max_y - min_y), 0)
+    touched = jnp.where(r_live, rect_w * (max_y - min_y), 0)
 
     offsets = jnp.cumsum(touched) - touched        # exclusive
     total = offsets[-1] + touched[-1]
@@ -253,5 +266,6 @@ def count_pairs(means2d, depths, radii, width, height, tile: int = TILE,
     """Host-callable exact pair count (for choosing `max_pairs` buckets)."""
     min_x, max_x, min_y, max_y = gaussian_rects(means2d, radii, width,
                                                 height, tile, tile_y)
-    touched = jnp.where(radii > 0, (max_x - min_x) * (max_y - min_y), 0)
+    _, _, r_live = _split_radii(radii)
+    touched = jnp.where(r_live, (max_x - min_x) * (max_y - min_y), 0)
     return jnp.sum(touched)

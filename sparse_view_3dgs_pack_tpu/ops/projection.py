@@ -29,6 +29,12 @@ class Projected(NamedTuple):
     conics: jnp.ndarray     # (P, 3) inverse 2D covariance (a, b, c)
     colors: jnp.ndarray     # (P, C)
     opacities: jnp.ndarray  # (P,) after optional antialias scaling
+    # (P, 2) int32 per-axis binning rect radius — the AABB of the
+    # alpha >= 1/255 level-set ellipse, clamped to the 3σ square. Strictly
+    # tighter than `radii` with term-identical render output (see
+    # project_gaussians); `radii` keeps the reference's 3σ semantics for
+    # densification stats / the visibility filter.
+    rect_radii: jnp.ndarray = None
 
 
 def compute_cov3d(scales, quats, scale_modifier=1.0):
@@ -178,13 +184,35 @@ def project_gaussians(
     # every tile — force them culled instead of exploding the pair count
     radii = jnp.where(valid & jnp.isfinite(radius),
                       jnp.minimum(radius, 1e7), 0.0).astype(jnp.int32)
+
+    # Exact-conservative per-axis binning rect: the rasterizer zeroes
+    # alpha < 1/255 (kernel, XLA tiles and oracle all apply the CUDA skip
+    # rule), so pixels outside the level-set ellipse {d : ½·dᵀQd ≤ L},
+    # L = ln(255·op), contribute exactly nothing. Its AABB has semiaxes
+    # √(2L·Σxx), √(2L·Σyy) (Σ = Q⁻¹ = the dilated 2D covariance).
+    # Intersected with the reference's 3σ square (which hard-cuts the pair
+    # list in both designs), this shrinks the binned rect of low-opacity
+    # and anisotropic Gaussians with term-identical output — forward and
+    # gradients (dropped pairs have alpha masked to 0 in fwd and bwd; only
+    # f32 summation order can shift). +1 px absorbs f32 rounding at the
+    # level-set boundary.
+    op_final = jnp.where(valid, opacities * h_scale, 0.0)
+    two_l = 2.0 * jnp.log(jnp.maximum(op_final, 1e-12) * 255.0)
+    rx = jnp.ceil(jnp.sqrt(jnp.maximum(two_l * cxx_d, 0.0))) + 1.0
+    ry = jnp.ceil(jnp.sqrt(jnp.maximum(two_l * cyy_d, 0.0))) + 1.0
+    rect = jnp.stack([jnp.minimum(radius, rx), jnp.minimum(radius, ry)], -1)
+    keep = (valid & (op_final >= 1.0 / 255.0) & jnp.isfinite(radius)
+            & jnp.isfinite(rect[:, 0]) & jnp.isfinite(rect[:, 1]))
+    rect_radii = jnp.where(keep[:, None],
+                           jnp.minimum(rect, 1e7), 0.0).astype(jnp.int32)
     return Projected(
         means2d=means2d,
         depths=jnp.where(valid, p_view[:, 2], jnp.inf),
         radii=radii,
         conics=conics,
         colors=colors,
-        opacities=jnp.where(valid, opacities * h_scale, 0.0),
+        opacities=op_final,
+        rect_radii=rect_radii,
     )
 
 

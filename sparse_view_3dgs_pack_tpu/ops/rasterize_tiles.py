@@ -154,6 +154,7 @@ def rasterize_binned(proj: Projected, binning: Binning, width: int,
 def rasterize(proj: Projected, width: int, height: int,
               background: jnp.ndarray,
               config: RasterConfig = RasterConfig()) -> RenderOutputs:
-    binning = bin_gaussians(proj.means2d, proj.depths, proj.radii,
+    rect = proj.rect_radii if proj.rect_radii is not None else proj.radii
+    binning = bin_gaussians(proj.means2d, proj.depths, rect,
                             width, height, config.max_pairs, config.tile)
     return rasterize_binned(proj, binning, width, height, background, config)

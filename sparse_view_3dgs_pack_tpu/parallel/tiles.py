@@ -48,7 +48,9 @@ def render_tile_parallel(proj: Projected, width: int, height: int,
             means2d=proj.means2d - jnp.stack(
                 [jnp.zeros_like(proj.means2d[:, 0]),
                  jnp.full_like(proj.means2d[:, 1], 1.0) * y0], axis=-1))
-        binning = bin_gaussians(local.means2d, local.depths, local.radii,
+        rect = (local.rect_radii if local.rect_radii is not None
+                else local.radii)
+        binning = bin_gaussians(local.means2d, local.depths, rect,
                                 width, band_h, config.max_pairs, config.tile)
         out = rasterize_binned(local, binning, width, band_h,
                                jnp.asarray(background), config)

@@ -99,6 +99,9 @@ def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
         scale_modifier=scaling_modifier,
         antialiasing=antialiasing)
     proj = proj._replace(means2d=proj.means2d + viewspace_offset)
+    # per-axis AABB rect (exactly output-preserving, strictly fewer pairs —
+    # see projection.py); fall back to the 3σ square for hand-built proj
+    rect = proj.rect_radii if proj.rect_radii is not None else proj.radii
 
     if use_pallas:
         from .ops.pallas.raster_vjp import make_pallas_rasterizer
@@ -113,7 +116,7 @@ def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
             ty = config.tile
         ba = bin_gaussians(
             jax.lax.stop_gradient(proj.means2d),
-            jax.lax.stop_gradient(proj.depths), proj.radii,
+            jax.lax.stop_gradient(proj.depths), rect,
             width, height, config.max_pairs, tx, ty)
         raster_fn = make_pallas_rasterizer(width, height, C,
                                            inference=inference,
@@ -129,7 +132,7 @@ def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
     else:
         binning = bin_gaussians(
             jax.lax.stop_gradient(proj.means2d),
-            jax.lax.stop_gradient(proj.depths), proj.radii,
+            jax.lax.stop_gradient(proj.depths), rect,
             width, height, config.max_pairs, config.tile)
         out = rasterize_binned(proj, binning, width, height,
                                jnp.asarray(bg_color), config)

@@ -110,6 +110,50 @@ def test_binning_covers_radii():
         assert (np.diff(d) >= -np.maximum(d[:-1], 1.0) * 2 ** -9).all()
 
 
+def test_rect_radii_exact_and_tighter():
+    """The per-axis AABB rect (`Projected.rect_radii`) must bin strictly
+    fewer pairs than the reference 3σ square on a low-opacity/anisotropic
+    scene, with term-identical render output and gradients — dropped pairs
+    are exactly the ones whose alpha < 1/255 the rasterizer zeroes anyway
+    (CUDA skip rule, `forward.cu:342-383`). Only f32 summation ORDER can
+    differ (surviving pairs shift position in the padded tile lists), so
+    equality is asserted at a few-ulp tolerance."""
+    cloud, cam = _scene(n=300, seed=3)
+    # widen the opacity range downwards (incl. below 1/255 → fully culled)
+    # and stretch scales for anisotropy — both feed the AABB tightening
+    cloud["opacity"] = (cloud["opacity"] * 3.0 - 3.0).astype(np.float32)
+    cloud["scales"][:, 0] += 1.0
+    proj = _project(cloud, cam)
+
+    n_square = int(binning_mod.count_pairs(proj.means2d, proj.depths,
+                                           proj.radii, W, H))
+    n_rect = int(binning_mod.count_pairs(proj.means2d, proj.depths,
+                                         proj.rect_radii, W, H))
+    assert 0 < n_rect < n_square
+
+    bg = jnp.array([0.1, 0.2, 0.3])
+    cfg = RasterConfig(max_pairs=1 << 15, max_per_tile=512, tile_batch=4)
+
+    def render_with(radii, opac):
+        p = proj._replace(opacities=opac, rect_radii=radii)
+        out = rasterize(p, W, H, bg, cfg)
+        return out
+
+    out_sq = render_with(proj.radii, proj.opacities)
+    out_re = render_with(proj.rect_radii, proj.opacities)
+    for field in ("color", "alpha", "invdepth", "depth"):
+        np.testing.assert_allclose(np.asarray(getattr(out_sq, field)),
+                                   np.asarray(getattr(out_re, field)),
+                                   atol=2e-6)
+
+    g_sq = jax.grad(lambda o: jnp.sum(
+        render_with(proj.radii, o).color ** 2))(proj.opacities)
+    g_re = jax.grad(lambda o: jnp.sum(
+        render_with(proj.rect_radii, o).color ** 2))(proj.opacities)
+    np.testing.assert_allclose(np.asarray(g_sq), np.asarray(g_re),
+                               rtol=1e-5, atol=2e-6)
+
+
 def test_tiled_matches_oracle():
     cloud, cam = _scene(n=300)
     proj = _project(cloud, cam)
