@@ -18,8 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from ..models import gaussians as gm
-from ..renderer import default_raster_config, render
+from ..renderer import default_raster_config, render, render_core
 from . import capacity
 from . import debug
 from ..utils.general import get_expon_lr_func
@@ -35,6 +37,21 @@ from .step import CameraBank, StepCarry, StepConfig, train_step
 class TrainerEvents:
     """Host callbacks: (iteration, trainer) → None."""
     on_iteration: list = field(default_factory=list)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "sh_degree_active",
+                                   "config", "antialiasing", "use_pallas"))
+def _eval_view_metrics(params, alive, exposure_mat, cam, gt, width, height,
+                       bg_color, sh_degree_active, config, antialiasing,
+                       use_pallas):
+    """Render one eval view and reduce to (psnr, l1) ON DEVICE — only two
+    scalars cross the host link (a full-image fetch + re-upload per view
+    made evals minutes-long over the remote-TPU tunnel)."""
+    res = render_core(params, alive, exposure_mat, cam, width, height,
+                      bg_color, sh_degree_active, config,
+                      antialiasing=antialiasing, use_pallas=use_pallas,
+                      inference=True)
+    return psnr_fn(res.render, gt), jnp.mean(jnp.abs(res.render - gt))
 
 
 def resolve_data_parallel(value) -> int:
@@ -105,6 +122,12 @@ class Trainer:
             [1.0, 1.0, 1.0] if dataset_args.white_background
             else [0.0, 0.0, 0.0], jnp.float32)[:self.channels]
 
+        from .precompile import SpeculativeCompiler, speculation_enabled
+        self.precompiler = SpeculativeCompiler(
+            enabled=speculation_enabled(), quiet=quiet)
+        self._shapes_dirty = True
+        self._eval_gt_cache = {}
+
         self._raster_cfg = None
         self._cfg = None
         self._rebuild_config()
@@ -116,10 +139,29 @@ class Trainer:
 
     # -------------------------------------------------------------- config
     def _rebuild_config(self):
+        self._cfg = self._config_for(self.state.capacity)
+        self._raster_cfg = self._cfg.raster
+        # shapes changed → re-speculate on the next growth edges
+        self._shapes_dirty = True
+        # the raster config can change for reasons other than an overflow
+        # (capacity growth with default sizing, checkpoint restore) — keep
+        # the bucket controller in sync with the authoritative config
+        if hasattr(self, "pair_bucket"):
+            self.pair_bucket.max_pairs = self._raster_cfg.max_pairs
+        if self.mesh is not None:
+            from ..parallel.dp import build_dp_train_step
+            self._dp_step = build_dp_train_step(self._cfg, self.mesh)
+
+    def _config_for(self, capacity_: int,
+                    max_pairs_: Optional[int] = None) -> StepConfig:
+        """The StepConfig the loop would build at `capacity_` (and, when
+        given, an explicit pair bucket) — pure w.r.t. trainer state, so the
+        speculative compiler can predict post-growth configs exactly."""
         o = self.opt
-        self._raster_cfg = default_raster_config(
-            self.state.capacity, self.width, self.height,
-            max_pairs=getattr(self.pipe, "max_pairs", 0),
+        raster_cfg = default_raster_config(
+            capacity_, self.width, self.height,
+            max_pairs=(max_pairs_ if max_pairs_ is not None
+                       else getattr(self.pipe, "max_pairs", 0)),
             max_per_tile=getattr(self.pipe, "max_per_tile", 0),
             tile_batch=getattr(self.pipe, "tile_batch", 64))
         use_pallas = getattr(self.pipe, "use_pallas", None)
@@ -127,9 +169,9 @@ class Trainer:
             use_pallas = jax.default_backend() not in ("cpu",)
         if os.environ.get("GS_FORCE_XLA_RASTER"):
             use_pallas = False
-        self._cfg = StepConfig(
+        return StepConfig(
             width=self.width, height=self.height, channels=self.channels,
-            sh_degree=self.dataset_args.sh_degree, raster=self._raster_cfg,
+            sh_degree=self.dataset_args.sh_degree, raster=raster_cfg,
             use_pallas=use_pallas,
             lambda_dssim=o.lambda_dssim,
             antialiasing=getattr(self.pipe, "antialiasing", False),
@@ -151,14 +193,44 @@ class Trainer:
             patch_dwt_lh1_weight=getattr(o, "patch_dwt_lh1_weight", 1.0),
             patch_dwt_hl1_weight=getattr(o, "patch_dwt_hl1_weight", 1.0),
         )
-        # the raster config can change for reasons other than an overflow
-        # (capacity growth with default sizing, checkpoint restore) — keep
-        # the bucket controller in sync with the authoritative config
-        if hasattr(self, "pair_bucket"):
-            self.pair_bucket.max_pairs = self._raster_cfg.max_pairs
-        if self.mesh is not None:
-            from ..parallel.dp import build_dp_train_step
-            self._dp_step = build_dp_train_step(self._cfg, self.mesh)
+
+    def _precompile_next(self, lrs, bg):
+        """Speculatively compile the train step for the deterministic growth
+        edges (2× capacity, 2×/½ pair bucket) in a background thread, so the
+        foreground re-jit at growth time hits the persistent compile cache
+        (train/precompile.py). Single-device path only; best-effort."""
+        if self.mesh is not None or not self.precompiler.enabled:
+            return
+        from . import precompile as pc
+        cap_now = self.state.capacity
+        self.precompiler.mark_known((cap_now, self._cfg))
+
+        others = pc.specs_of((self.exp_adam, self.carry, self.bank,
+                              jnp.asarray(0, jnp.int32), lrs,
+                              jnp.asarray(0.0, jnp.float32),
+                              jnp.asarray(0.0, jnp.float32),
+                              jnp.asarray(0, jnp.int32), bg))
+        cur_specs = pc.specs_of((self.state, self.adam))
+        grown = pc.grown_specs(self.state, self.adam, cap_now * 2)
+
+        edges = [(grown, self._config_for(cap_now * 2))]
+        cur_mp = self._raster_cfg.max_pairs
+        if cur_mp * 2 <= capacity.PAIR_HARD_CAP:
+            edges.append((cur_specs,
+                          self._config_for(cap_now, max_pairs_=cur_mp * 2)))
+        if cur_mp > (1 << 16):
+            edges.append((cur_specs,
+                          self._config_for(cap_now, max_pairs_=cur_mp // 2)))
+
+        for (s_spec, a_spec), cfg_ in edges:
+            cap_ = int(jax.tree.leaves(s_spec)[0].shape[0])
+
+            def thunk(s=s_spec, a=a_spec, c=cfg_, o=others):
+                train_step.lower(s, a, *o, c).compile()
+
+            self.precompiler.submit(
+                (cap_, cfg_), thunk,
+                label=f"capacity={cap_} max_pairs={cfg_.raster.max_pairs}")
 
     def _maybe_grow(self):
         """Grow parameter capacity (Adam moments padded) when close to
@@ -257,6 +329,11 @@ class Trainer:
             self.state, self.adam = out.state, out.adam
             self.exp_adam, self.carry = out.exp_adam, out.carry
             metrics = out.metrics
+            if self._shapes_dirty:
+                # the step above just (re)compiled the current shape; hand
+                # the NEXT growth edges to the background compiler now
+                self._shapes_dirty = False
+                self._precompile_next(lrs, bg)
         else:
             cam_idx = None
             metrics = self._dp_substep(it, lrs, bg)
@@ -309,22 +386,40 @@ class Trainer:
         return metrics
 
     # ------------------------------------------------------------- eval/IO
+    def _eval_gt(self, cam):
+        """Ground-truth image on device, cached — mid-training evals repeat
+        over the same test views, and re-uploading HxWx3 f32 per view per
+        eval dominated eval time on the remote TPU (57-160 s per eval in
+        the round-3 30k run; ~2 s with the cache + on-device metrics)."""
+        key = id(cam)
+        gt = self._eval_gt_cache.get(key)
+        if gt is None:
+            if len(self._eval_gt_cache) >= 128:   # bound device memory
+                self._eval_gt_cache.clear()
+            gt = jax.device_put(
+                jnp.asarray(cam.image[..., :self.channels], jnp.float32))
+            self._eval_gt_cache[key] = gt
+        return gt
+
     def evaluate(self, cameras, max_views: Optional[int] = None) -> dict:
         if max_views:
             cameras = cameras[:max_views]
         if not cameras:
             return {}
-        psnrs, l1s = [], []
-        for i, cam in enumerate(cameras):
-            res = render(self.state, cam, self.background,
-                         sh_degree_active=self.active_sh_degree,
-                         antialiasing=getattr(self.pipe, "antialiasing",
-                                              False),
-                         config=self._raster_cfg)
-            img = np.asarray(res.render)
-            gt = cam.image[..., :self.channels]
-            psnrs.append(float(psnr_fn(jnp.asarray(img), jnp.asarray(gt))))
-            l1s.append(float(np.abs(img - gt).mean()))
+        use_pallas = getattr(self.pipe, "use_pallas", None)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        # dispatch every view's on-device (psnr, l1) before fetching any —
+        # the scalars pipeline behind each other's renders
+        outs = [_eval_view_metrics(
+                    self.state.params, self.state.alive.astype(jnp.float32),
+                    self.state.exposure[0], cam.params(), self._eval_gt(cam),
+                    cam.width, cam.height, self.background,
+                    self.active_sh_degree, self._raster_cfg,
+                    getattr(self.pipe, "antialiasing", False), use_pallas)
+                for cam in cameras]
+        psnrs = [float(p) for p, _ in outs]
+        l1s = [float(l) for _, l in outs]
         return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s)),
                 "n_views": len(cameras)}
 
