@@ -42,6 +42,7 @@ from ..renderer import default_raster_config, render_core
 from ..scene import Scene
 from ..utils.pose_utils import generate_spiral_path
 from . import capacity
+from . import precompile
 from . import debug
 from .densify import (add_densification_stats, densify_and_prune, prune_only)
 from .optim import (adam_update, init_adam, init_tree_adam,
@@ -268,15 +269,45 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
                                        getattr(pipe, "max_per_tile", 0),
                                        getattr(pipe, "tile_batch", 64))
     pair_bucket = capacity.PairBucket(raster_cfg.max_pairs)
+    compiler = precompile.SpeculativeCompiler(
+        precompile.speculation_enabled(), quiet=True)
+    shapes_dirty = True
 
     def rebuild_cfg(pairs=None):
-        nonlocal raster_cfg
+        nonlocal raster_cfg, shapes_dirty
         raster_cfg = default_raster_config(
             state.capacity, W, H,
             pair_bucket.max_pairs if pairs is None else pairs,
             getattr(pipe, "max_per_tile", 0),
             getattr(pipe, "tile_batch", 64))
         pair_bucket.max_pairs = raster_cfg.max_pairs
+        shapes_dirty = True
+
+    def speculate(cfg, lrs):
+        """Background-compile the growth-edge dng_steps (precompile.py).
+        The use_smooth/use_soft flags are speculated AT CURRENT VALUE — a
+        flag flip before the growth costs one wasted background compile,
+        the same foreground compile as today, never correctness."""
+        others = precompile.specs_of(
+            (neural_params, neural_adam, bank, jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32), lrs, neural_lrs,
+             jnp.asarray(0, jnp.int32), bg))
+
+        def lower_with(s, a, c, n):
+            np_s, na_s, bank_s, i_s, p_s, lrs_s, nlrs_s, deg_s, bg_s = others
+            dng_step.lower(s, np_s, a, na_s, bank_s, i_s, p_s, lrs_s,
+                           nlrs_s, deg_s, bg_s, c).compile()
+
+        precompile.speculate_growth_edges(
+            compiler, state, adam, raster_cfg.max_pairs,
+            capacity.PAIR_HARD_CAP,
+            cfg_for=lambda cp, mp=None: cfg._replace(
+                raster=default_raster_config(
+                    cp, W, H, mp if mp is not None else pair_bucket.max_pairs,
+                    getattr(pipe, "max_per_tile", 0),
+                    getattr(pipe, "tile_batch", 64))),
+            lower_with=lower_with,
+            mark_current=(state.capacity, cfg))
 
     spiral_cams = generate_spiral_path(cams, n_frames=120)
 
@@ -312,6 +343,9 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
             jnp.asarray(cam_idx, jnp.int32),
             jnp.asarray(patch_idx, jnp.int32), lrs, neural_lrs,
             jnp.asarray(active_sh, jnp.int32), bg, cfg)
+        if shapes_dirty:
+            shapes_dirty = False
+            speculate(cfg, lrs)
 
         densified = False
         if (it < opt.densify_until_iter and it > opt.densify_from_iter

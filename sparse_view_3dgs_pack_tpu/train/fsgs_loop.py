@@ -36,6 +36,7 @@ from ..utils.pose_utils import (generate_random_poses_360,
                                 generate_random_poses_llff)
 from . import capacity
 from . import debug
+from . import precompile
 from .densify import (add_densification_stats, densify_and_prune,
                       proximity_densify, reset_opacity)
 from .optim import init_adam, make_lr_schedules, adam_update
@@ -239,15 +240,37 @@ def train_fsgs(dataset, opt, pipe, args):
                      use_confidence=bool(getattr(pipe, "use_confidence",
                                                  False)))
     pair_bucket = capacity.PairBucket(raster_cfg.max_pairs)
+    compiler = precompile.SpeculativeCompiler(
+        precompile.speculation_enabled(), quiet=True)
+    shapes_dirty = True
 
     def rebuild_cfg():
-        nonlocal raster_cfg, cfg
+        nonlocal raster_cfg, cfg, shapes_dirty
         raster_cfg = default_raster_config(state.capacity, W, H,
                                            pair_bucket.max_pairs,
                                            getattr(pipe, "max_per_tile", 0),
                                            getattr(pipe, "tile_batch", 64))
         pair_bucket.max_pairs = raster_cfg.max_pairs
         cfg = cfg._replace(raster=raster_cfg)
+        shapes_dirty = True
+
+    def speculate(lrs):
+        """Background-compile the growth-edge fsgs_steps (precompile.py)."""
+        others = precompile.specs_of(
+            (bank, jnp.asarray(0, jnp.int32), lrs,
+             jnp.asarray(0.0, jnp.float32), jnp.asarray(0, jnp.int32), bg))
+        precompile.speculate_growth_edges(
+            compiler, state, adam, raster_cfg.max_pairs,
+            capacity.PAIR_HARD_CAP,
+            cfg_for=lambda c, mp=None: cfg._replace(
+                raster=default_raster_config(
+                    c, W, H, mp if mp is not None else pair_bucket.max_pairs,
+                    getattr(pipe, "max_per_tile", 0),
+                    getattr(pipe, "tile_batch", 64))),
+            lower_with=lambda s, a, c, n: fsgs_step.lower(
+                s, a, *others, c,
+                jax.ShapeDtypeStruct((n,), jnp.float32)).compile(),
+            mark_current=(state.capacity, cfg))
     # per-Gaussian confidence: ones, carried across densification like the
     # reference (`gaussian_model.py:158,351,402` keeps it all-ones)
     confidence = jnp.ones((state.capacity,), jnp.float32)
@@ -286,6 +309,9 @@ def train_fsgs(dataset, opt, pipe, args):
             jnp.asarray(depth_weight, jnp.float32),
             jnp.asarray(active_sh, jnp.int32), bg, cfg,
             confidence=confidence)
+        if shapes_dirty:
+            shapes_dirty = False
+            speculate(lrs)
 
         # pseudo-view depth distillation
         if (estimator.available and it % opt.sample_pseudo_interval == 0

@@ -202,35 +202,18 @@ class Trainer:
         if self.mesh is not None or not self.precompiler.enabled:
             return
         from . import precompile as pc
-        cap_now = self.state.capacity
-        self.precompiler.mark_known((cap_now, self._cfg))
-
         others = pc.specs_of((self.exp_adam, self.carry, self.bank,
                               jnp.asarray(0, jnp.int32), lrs,
                               jnp.asarray(0.0, jnp.float32),
                               jnp.asarray(0.0, jnp.float32),
                               jnp.asarray(0, jnp.int32), bg))
-        cur_specs = pc.specs_of((self.state, self.adam))
-        grown = pc.grown_specs(self.state, self.adam, cap_now * 2)
-
-        edges = [(grown, self._config_for(cap_now * 2))]
-        cur_mp = self._raster_cfg.max_pairs
-        if cur_mp * 2 <= capacity.PAIR_HARD_CAP:
-            edges.append((cur_specs,
-                          self._config_for(cap_now, max_pairs_=cur_mp * 2)))
-        if cur_mp > (1 << 16):
-            edges.append((cur_specs,
-                          self._config_for(cap_now, max_pairs_=cur_mp // 2)))
-
-        for (s_spec, a_spec), cfg_ in edges:
-            cap_ = int(jax.tree.leaves(s_spec)[0].shape[0])
-
-            def thunk(s=s_spec, a=a_spec, c=cfg_, o=others):
-                train_step.lower(s, a, *o, c).compile()
-
-            self.precompiler.submit(
-                (cap_, cfg_), thunk,
-                label=f"capacity={cap_} max_pairs={cfg_.raster.max_pairs}")
+        pc.speculate_growth_edges(
+            self.precompiler, self.state, self.adam,
+            self._raster_cfg.max_pairs, capacity.PAIR_HARD_CAP,
+            cfg_for=self._config_for,
+            lower_with=lambda s, a, c, n: train_step.lower(
+                s, a, *others, c).compile(),
+            mark_current=(self.state.capacity, self._cfg))
 
     def _maybe_grow(self):
         """Grow parameter capacity (Adam moments padded) when close to

@@ -29,6 +29,7 @@ from ..ops.rasterize_tiles import RasterConfig
 from ..renderer import default_raster_config, render_core
 from ..scene import Scene
 from . import capacity
+from . import precompile
 from . import debug
 from .densify import add_densification_stats, densify_and_prune, reset_opacity
 from .optim import adam_update, init_adam, make_lr_schedules
@@ -138,9 +139,12 @@ def train_nir(dataset, opt, pipe, args):
         patch_dwt_hl1_weight=opt.patch_dwt_hl1_weight)
     cfg = NIRConfig(base=base, nir_weight=getattr(args, "nir_weight", 0.5))
     pair_bucket = capacity.PairBucket(raster_cfg.max_pairs)
+    compiler = precompile.SpeculativeCompiler(
+        precompile.speculation_enabled(), quiet=True)
+    shapes_dirty = True
 
     def rebuild_cfg():
-        nonlocal raster_cfg, base, cfg
+        nonlocal raster_cfg, base, cfg, shapes_dirty
         raster_cfg = default_raster_config(state.capacity, W, H,
                                            pair_bucket.max_pairs,
                                            getattr(pipe, "max_per_tile", 0),
@@ -148,6 +152,24 @@ def train_nir(dataset, opt, pipe, args):
         pair_bucket.max_pairs = raster_cfg.max_pairs
         base = base._replace(raster=raster_cfg)
         cfg = cfg._replace(base=base)
+        shapes_dirty = True
+
+    def speculate(carry, lrs):
+        """Background-compile the growth-edge nir_steps (precompile.py)."""
+        others = precompile.specs_of(
+            (carry, bank, jnp.asarray(0, jnp.int32), lrs,
+             jnp.asarray(0, jnp.int32), bg))
+        precompile.speculate_growth_edges(
+            compiler, state, adam, raster_cfg.max_pairs,
+            capacity.PAIR_HARD_CAP,
+            cfg_for=lambda c, mp=None: cfg._replace(base=base._replace(
+                raster=default_raster_config(
+                    c, W, H, mp if mp is not None else pair_bucket.max_pairs,
+                    getattr(pipe, "max_per_tile", 0),
+                    getattr(pipe, "tile_batch", 64)))),
+            lower_with=lambda s, a, c, n: nir_step.lower(
+                s, a, *others, c).compile(),
+            mark_current=(state.capacity, cfg))
 
     carry = jnp.ones(())
     active_sh = 0
@@ -168,6 +190,9 @@ def train_nir(dataset, opt, pipe, args):
         state, adam, carry, metrics = nir_step(
             state, adam, carry, bank, jnp.asarray(cam_idx, jnp.int32), lrs,
             jnp.asarray(active_sh, jnp.int32), bg, cfg)
+        if shapes_dirty:
+            shapes_dirty = False
+            speculate(carry, lrs)
 
         densified = False
         if it < opt.densify_until_iter:

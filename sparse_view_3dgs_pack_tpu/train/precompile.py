@@ -23,6 +23,7 @@ path is byte-identical with or without it.
 
 from __future__ import annotations
 
+import atexit
 import os
 import queue
 import threading
@@ -62,8 +63,14 @@ class SpeculativeCompiler:
         self._q = queue.Queue()
         self._lock = threading.Lock()
         self._worker = None
+        self._stopping = False
         self.compiled = []          # keys that finished (for tests/logs)
         self.failed = []
+        if enabled:
+            # a daemon thread killed INSIDE an XLA compile RPC aborts the
+            # whole process at interpreter shutdown (C++ terminate); drain
+            # the in-flight compile first, abandon the queued rest
+            atexit.register(self._shutdown)
 
     def submit(self, key, thunk, label=None) -> bool:
         """Queue `thunk` (→ lower().compile()) unless `key` was already
@@ -89,8 +96,14 @@ class SpeculativeCompiler:
         with self._lock:
             self._seen.add(key)
 
+    def _shutdown(self):
+        self._stopping = True
+        worker = self._worker
+        if worker is not None and worker.is_alive():
+            worker.join(180.0)      # bounded: a wedged compile aborts anyway
+
     def _drain(self):
-        while True:
+        while not self._stopping:
             try:
                 key, label, thunk = self._q.get_nowait()
             except queue.Empty:
@@ -129,3 +142,45 @@ def grown_specs(state, adam, new_capacity: int):
 def specs_of(tree):
     """Exact avals (incl. weak types) of a concrete arg pytree."""
     return jax.eval_shape(lambda t: t, tree)
+
+
+def speculate_growth_edges(compiler: SpeculativeCompiler, state, adam,
+                           cur_max_pairs: int, pair_hard_cap: int,
+                           cfg_for, lower_with, mark_current=None):
+    """Submit a loop's deterministic growth edges to `compiler`.
+
+    Shared by all four training loops (Trainer/fsgs/dng/nir — same contract
+    as the shared capacity module): the edges are 2× parameter capacity
+    (state/adam avals grown via the real growth functions) and 2×/½ pair
+    bucket (same avals, different static raster config).
+
+    - ``cfg_for(capacity, max_pairs_or_None)`` → the static step config the
+      loop would rebuild at that shape.
+    - ``lower_with(state_spec, adam_spec, cfg, capacity)`` → lowers and
+      compiles the loop's jitted step(s); runs on the background thread.
+    - ``mark_current`` — (capacity, cfg) the foreground just compiled, so
+      it is never speculated.
+    """
+    if not compiler.enabled:
+        return
+    if mark_current is not None:
+        compiler.mark_known(mark_current)
+    cap = state.capacity
+    cur_specs = specs_of((state, adam))
+    edges = [(grown_specs(state, adam, cap * 2), cfg_for(cap * 2, None))]
+    if cur_max_pairs * 2 <= pair_hard_cap:
+        edges.append((cur_specs, cfg_for(cap, cur_max_pairs * 2)))
+    if cur_max_pairs > (1 << 16):
+        edges.append((cur_specs, cfg_for(cap, cur_max_pairs // 2)))
+
+    for (s_spec, a_spec), cfg_ in edges:
+        cap_ = int(jax.tree.leaves(s_spec)[0].shape[0])
+        raster = getattr(cfg_, "raster", None) or getattr(
+            getattr(cfg_, "base", None), "raster", None)
+
+        def thunk(s=s_spec, a=a_spec, c=cfg_, n=cap_):
+            lower_with(s, a, c, n)
+
+        compiler.submit(
+            (cap_, cfg_), thunk,
+            label=f"capacity={cap_} max_pairs={raster.max_pairs}")

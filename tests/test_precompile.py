@@ -191,3 +191,96 @@ def test_evaluate_matches_host_metrics(trainer):
     assert len(trainer._eval_gt_cache) == 2
     trainer.evaluate(cams)
     assert len(trainer._eval_gt_cache) == 2
+
+
+# --------------------------------------------- all four loops speculate
+
+class _SyncFirstEdge:
+    """Recording compiler: runs the FIRST edge's thunk synchronously (so a
+    malformed lower() raises in the test), records the rest."""
+
+    instances = []
+    real_cls = SpeculativeCompiler        # bound before any monkeypatch
+
+    def __init__(self, *a, **k):
+        self._real = _SyncFirstEdge.real_cls(enabled=True, quiet=True)
+        self.enabled = True
+        self.compiled = []
+        _SyncFirstEdge.instances.append(self)
+
+    def mark_known(self, key):
+        self._real.mark_known(key)
+
+    def submit(self, key, thunk, label=None):
+        if key in self._real._seen:
+            return False
+        self._real._seen.add(key)
+        if not self.compiled:
+            thunk()                      # raise = test failure
+        self.compiled.append(key)
+        return True
+
+
+@pytest.fixture()
+def sync_compiler(monkeypatch):
+    from sparse_view_3dgs_pack_tpu.train import precompile as pc_mod
+    _SyncFirstEdge.instances = []
+    monkeypatch.setattr(pc_mod, "SpeculativeCompiler", _SyncFirstEdge)
+    return _SyncFirstEdge
+
+
+def _loop_args(scene_dir, tmp_path, name):
+    args = _Args()
+    args.source_path = scene_dir
+    args.model_path = str(tmp_path / name)
+    args.save_iterations = []
+    args.test_iterations = []
+    args.depth_estimator = "none"
+    os.makedirs(args.model_path, exist_ok=True)
+    opt = _Opt()
+    opt.iterations = 2
+    opt.densify_from_iter = 100       # no densify events in 2 iters
+    return args, opt
+
+
+@pytest.mark.timeout(1200)
+def test_fsgs_loop_speculates(scene_dir, tmp_path, sync_compiler):
+    from sparse_view_3dgs_pack_tpu.train.fsgs_loop import train_fsgs
+    args, opt = _loop_args(scene_dir, tmp_path, "fsgs")
+    opt.depth_weight = 0.0
+    opt.depth_pseudo_weight = 0.0
+    opt.sample_pseudo_interval = 1000
+    opt.start_sample_pseudo = 1000
+    opt.end_sample_pseudo = 1001
+    opt.proximity_until_iter = 0
+    opt.dist_thres = 10.0
+    train_fsgs(args, opt, _Pipe(), args)
+    assert sync_compiler.instances
+    keys = sync_compiler.instances[0].compiled
+    assert len(keys) >= 2             # 2x-capacity and pair-bucket edges
+
+
+@pytest.mark.timeout(1200)
+def test_dng_loop_speculates(scene_dir, tmp_path, sync_compiler):
+    from sparse_view_3dgs_pack_tpu.train.dng_loop import train_dngaussian
+    args, opt = _loop_args(scene_dir, tmp_path, "dng")
+    opt.error_tolerance = 0.1
+    opt.shape_pena = 0.0
+    opt.scale_pena = 0.0
+    opt.opa_pena = 0.0
+    opt.soft_depth_start = 1000
+    opt.hard_depth_start = 1000
+    opt.prune_threshold = 0.005
+    opt.use_neural = 1
+    train_dngaussian(args, opt, _Pipe(), args)
+    assert sync_compiler.instances
+    assert len(sync_compiler.instances[0].compiled) >= 2
+
+
+@pytest.mark.timeout(1200)
+def test_nir_loop_speculates(scene_dir, tmp_path, sync_compiler):
+    from sparse_view_3dgs_pack_tpu.train.nir_loop import train_nir
+    args, opt = _loop_args(scene_dir, tmp_path, "nir")
+    train_nir(args, opt, _Pipe(), args)
+    assert sync_compiler.instances
+    assert len(sync_compiler.instances[0].compiled) >= 2
