@@ -52,12 +52,19 @@ def evaluate(model_paths):
                 method_dir = test_dir / method
                 renders, gts, names = read_images(method_dir / "renders",
                                                   method_dir / "gt")
-                ssims, psnrs, lpipss = [], [], []
-                for r, g in zip(renders, gts):
-                    rj, gj = jnp.asarray(r), jnp.asarray(g)
-                    ssims.append(float(ssim_metric(rj, gj)))
-                    psnrs.append(float(psnr_metric(rj, gj)))
-                    lpipss.append(float(lpips(rj, gj, net_type="vgg")))
+                # ONE fused jitted program per view returning all three
+                # scalars; dispatch every view before fetching any — the
+                # previous per-metric float() forced 3 blocking syncs per
+                # view (166 s for 24 views at 800px over the remote TPU)
+                import jax
+                fused = jax.jit(lambda r, g: (ssim_metric(r, g),
+                                              psnr_metric(r, g),
+                                              lpips(r, g, net_type="vgg")))
+                outs = [fused(jnp.asarray(r), jnp.asarray(g))
+                        for r, g in zip(renders, gts)]
+                ssims = [float(s) for s, _, _ in outs]
+                psnrs = [float(p) for _, p, _ in outs]
+                lpipss = [float(l) for _, _, l in outs]
 
                 # a proxy LPIPS (no converted weights in this env) must
                 # never be conflated with the real metric: separate key
