@@ -31,7 +31,10 @@ def evaluate_dtu(model_paths, source_path):
             renders_dir = test_dir / method / "renders"
             gt_dir = test_dir / method / "gt"
             mask_dir = Path(source_path) / "idr_masks"
-            ssims, psnrs, lpipss = [], [], []
+            import jax
+            fused = jax.jit(lambda r, g: (ssim_metric(r, g),
+                                          psnr_metric(r, g), lpips(r, g)))
+            outs = []
             for fname in sorted(os.listdir(renders_dir)):
                 render = np.asarray(PILImage.open(renders_dir / fname),
                                     np.float32)[..., :3] / 255
@@ -50,10 +53,12 @@ def evaluate_dtu(model_paths, source_path):
                     mask = np.ones_like(render[..., :1])
                 render = render * mask
                 gt = gt * mask
-                rj, gj = jnp.asarray(render), jnp.asarray(gt)
-                psnrs.append(float(psnr_metric(rj, gj)))
-                ssims.append(float(ssim_metric(rj, gj)))
-                lpipss.append(float(lpips(rj, gj)))
+                # one fused dispatch per view, fetched after the loop
+                # (same pipelining as metrics.py)
+                outs.append(fused(jnp.asarray(render), jnp.asarray(gt)))
+            psnrs = [float(p) for _, p, _ in outs]
+            ssims = [float(s) for s, _, _ in outs]
+            lpipss = [float(l) for _, _, l in outs]
             lpips_key = "LPIPS_proxy" if lpips_is_proxy() else "LPIPS"
             results[method] = {
                 "PSNR": sum(psnrs) / len(psnrs),
