@@ -207,13 +207,58 @@ class Trainer:
                               jnp.asarray(0.0, jnp.float32),
                               jnp.asarray(0.0, jnp.float32),
                               jnp.asarray(0, jnp.int32), bg))
+        key_spec = pc.specs_of(jax.random.PRNGKey(0))
+        use_pallas = getattr(self.pipe, "use_pallas", None)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        ecams = self.scene.getTestCameras() or self.scene.getTrainCameras()
+        ecam = ecams[0] if ecams else None
+        aa = getattr(self.pipe, "antialiasing", False)
+
+        def lower_aux(s, a, c, n):
+            """Densify + eval graphs recompile at the same shape edges as
+            the train step (measured 40-150 s stalls each on the remote
+            TPU); best-effort — a failure only loses the head start."""
+            for mss in (0, 20):
+                densify_and_prune.lower(
+                    s, a, key_spec, self.opt.densify_grad_threshold, 0.005,
+                    self.scene.cameras_extent, max_screen_size=mss,
+                    percent_dense=self.opt.percent_dense).compile()
+            if ecam is not None:
+                alive_spec = jax.ShapeDtypeStruct((n,), jnp.float32)
+                gt_spec = jax.ShapeDtypeStruct(
+                    (ecam.height, ecam.width, self.channels), jnp.float32)
+                # active degree saturates at the max by iter 3000; compile
+                # both the current and the final degree's eval graphs
+                for deg in {self.active_sh_degree,
+                            self.dataset_args.sh_degree}:
+                    _eval_view_metrics.lower(
+                        s.params, alive_spec,
+                        pc.specs_of(self.state.exposure[0]),
+                        pc.specs_of(ecam.params()), gt_spec,
+                        ecam.width, ecam.height,
+                        pc.specs_of(self.background), deg, c.raster,
+                        aa, use_pallas).compile()
+
+        def lower_with(s, a, c, n):
+            train_step.lower(s, a, *others, c).compile()
+            lower_aux(s, a, c, n)
+
         pc.speculate_growth_edges(
             self.precompiler, self.state, self.adam,
             self._raster_cfg.max_pairs, capacity.PAIR_HARD_CAP,
             cfg_for=self._config_for,
-            lower_with=lambda s, a, c, n: train_step.lower(
-                s, a, *others, c).compile(),
+            lower_with=lower_with,
             mark_current=(self.state.capacity, self._cfg))
+        # the CURRENT shape's train step just compiled in the foreground,
+        # but its densify/eval graphs have not — warm them too (the first
+        # eval otherwise compiles cold at its test iteration)
+        cap_now = self.state.capacity
+        s0, a0 = pc.specs_of((self.state, self.adam))
+        self.precompiler.submit(
+            ("aux", cap_now, self._cfg, self.active_sh_degree),
+            lambda s=s0, a=a0, c=self._cfg, n=cap_now: lower_aux(s, a, c, n),
+            label=f"aux capacity={cap_now}")
 
     def _maybe_grow(self):
         """Grow parameter capacity (Adam moments padded) when close to

@@ -102,7 +102,7 @@ class _LowerRecorder:
     def __init__(self):
         self.calls = []
 
-    def lower(self, *args):
+    def lower(self, *args, **kwargs):
         self.calls.append(args)
         return self
 
@@ -112,10 +112,15 @@ class _LowerRecorder:
 
 def test_trainer_submits_growth_edges(trainer, monkeypatch):
     """`_precompile_next` must submit the 2x-capacity edge (with grown state
-    avals) and the 2x-pair-bucket edge (same state avals, doubled bucket)."""
+    avals), the 2x-pair-bucket edge (same state avals, doubled bucket), and
+    warm the densify/eval graphs for every shape INCLUDING the current."""
     from sparse_view_3dgs_pack_tpu.train import loop as loop_mod
     rec = _LowerRecorder()
+    dens = _LowerRecorder()
+    evalr = _LowerRecorder()
     monkeypatch.setattr(loop_mod, "train_step", rec)
+    monkeypatch.setattr(loop_mod, "densify_and_prune", dens)
+    monkeypatch.setattr(loop_mod, "_eval_view_metrics", evalr)
     trainer.precompiler = SpeculativeCompiler(enabled=True, quiet=True)
 
     lrs, bg = _lrs_bg(trainer)
@@ -132,8 +137,15 @@ def test_trainer_submits_growth_edges(trainer, monkeypatch):
                      cfg.raster.max_pairs))
     assert (cap * 2, trainer._config_for(cap * 2).raster.max_pairs) in seen
     assert (cap, mp * 2) in seen
-    # the CURRENT shape is never speculated (the foreground just built it)
+    # the CURRENT shape's train step is never speculated (the foreground
+    # just built it) — but its densify/eval graphs ARE warmed
     assert (cap, mp) not in seen
+    dens_caps = {jax.tree.leaves(args[0])[0].shape[0]
+                 for args in dens.calls}
+    assert cap in dens_caps and cap * 2 in dens_caps
+    eval_caps = {jax.tree.leaves(args[0])[0].shape[0]
+                 for args in evalr.calls}
+    assert cap in eval_caps and cap * 2 in eval_caps
 
 
 def test_trainer_step_triggers_speculation_once(trainer, monkeypatch):
@@ -166,6 +178,16 @@ def test_grown_specs_lower_and_compile(trainer):
                        jnp.asarray(0, jnp.int32), bg))
     cfg2 = trainer._config_for(cap2)
     assert train_step.lower(s2, a2, *others, cfg2).compile() is not None
+
+    # the aux graphs (densify + eval) must lower from the same avals —
+    # run the REAL _precompile_next with a forced-on compiler and assert
+    # every background thunk compiled (a failure means the speculative
+    # avals drifted from the foreground's)
+    trainer.precompiler = SpeculativeCompiler(enabled=True, quiet=True)
+    trainer._precompile_next(lrs, bg)
+    trainer.precompiler.wait_idle(600)
+    assert trainer.precompiler.compiled
+    assert not trainer.precompiler.failed
 
 
 def test_evaluate_matches_host_metrics(trainer):
