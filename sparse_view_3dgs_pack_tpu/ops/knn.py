@@ -91,10 +91,15 @@ def _pass_candidates(points, window, rotation, valid=None):
         # exclude invalid candidates (padded/dead capacity slots)
         d2 = jnp.where(valid[order][cand_c], d2, jnp.inf)
     cand_orig = order[cand_c]
-    # scatter back to original order
-    d2_o = jnp.zeros_like(d2).at[order].set(d2)
-    idx_o = jnp.zeros_like(cand_orig).at[order].set(cand_orig)
-    return d2_o, idx_o
+    # back to original order via the inverse permutation + row gathers: a
+    # direct 2-D scatter `.at[order].set(d2)` trips an XLA:TPU emitter
+    # assert at row width 128 (SortedScatterEmitter gather-type check,
+    # observed SIGABRT at window=64); the 1-D iota scatter + row gather
+    # lowers cleanly at every width and row gathers are the fast gather
+    # form on TPU anyway.
+    inv_order = jnp.zeros_like(order).at[order].set(
+        jnp.arange(N, dtype=order.dtype))
+    return d2[inv_order], cand_orig[inv_order]
 
 
 @partial(jax.jit, static_argnames=("window", "k", "passes"))
