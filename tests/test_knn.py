@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sparse_view_3dgs_pack_tpu.ops.knn import (
     dist2_for_scale_init, knn3, knn3_bruteforce, morton_codes)
