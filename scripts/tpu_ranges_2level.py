@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""A/B: searchsorted tile ranges vs exact two-level counting.
+
+starts[t] = #{sorted_key < t << depth_bits} = #{tile(pair) < t} with
+tile = key >> depth_bits sorted ascending. Two-level count:
+  row_last = tiles.reshape(L, K)[:, -1]          (strided slice)
+  rows_full[t] = sum(row_last < t)               (L x T compare+reduce)
+  in_row[t] = sum(tiles_2d[rows_full[t]] < t)    (one T-row gather)
+  bounds[t] = rows_full[t] * K + in_row[t]
+Exact because rows before rows_full[t] are entirely < t (sorted) and rows
+after are entirely >= t.
+"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+import numpy as np, jax, jax.numpy as jnp
+log("devices:", jax.devices())
+
+# bench-config sizes: 1080p 32x16 -> 60*68=4080 tiles, ~714k pair bucket
+GRID_T = 4080
+DEPTH_BITS = 20
+MP = 714_240  # 128-aligned
+K = 256
+
+rng = np.random.default_rng(0)
+n_real = int(MP * 0.94)
+tiles_np = np.sort(rng.integers(0, GRID_T, n_real).astype(np.uint32))
+depth_np = rng.integers(0, 1 << DEPTH_BITS, n_real).astype(np.uint32)
+keys_np = np.full(MP, np.uint32(GRID_T) << DEPTH_BITS, np.uint32)
+keys_np[:n_real] = np.sort((tiles_np << DEPTH_BITS) | depth_np)
+keys = jnp.asarray(keys_np)
+
+probes = (jnp.arange(GRID_T + 1, dtype=jnp.uint32) << DEPTH_BITS)
+
+
+@jax.jit
+def via_searchsorted(k):
+    return jnp.searchsorted(k, probes, side="left",
+                            method="scan_unrolled").astype(jnp.int32)
+
+
+L = -(-MP // K)
+
+
+@jax.jit
+def via_twolevel(k):
+    tiles = jax.lax.shift_right_logical(k, np.uint32(DEPTH_BITS))
+    tiles = tiles.astype(jnp.int32)          # <= GRID_T, fits
+    # pad one sentinel row so rows_full == L gathers an all->=t row
+    t2d = jnp.concatenate(
+        [tiles, jnp.full((K,), GRID_T + 1, jnp.int32)]).reshape(L + 1, K)
+    row_last = t2d[:, -1]                                       # (L+1,)
+    q = jnp.arange(GRID_T + 1, dtype=jnp.int32)                 # (T+1,)
+    rows_full = jnp.sum((row_last[None, :] < q[:, None]).astype(jnp.int32),
+                        axis=1)                                 # (T+1,)
+    cand = jnp.take(t2d, rows_full, axis=0)                     # (T+1, K)
+    in_row = jnp.sum((cand < q[:, None]).astype(jnp.int32), axis=1)
+    return rows_full * K + in_row
+
+
+a = np.asarray(via_searchsorted(keys))
+b = np.asarray(via_twolevel(keys))
+log("exact match:", bool((a == b).all()))
+assert (a == b).all(), np.abs(a - b).max()
+
+
+def bench(fn, label, n=50):
+    out = fn(keys); jax.block_until_ready(out); _ = np.asarray(out[:4])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(keys)
+        _ = np.asarray(out[:4])
+        best = min(best, (time.perf_counter() - t0) / n)
+    log(f"{label}: {best*1e3:.3f} ms")
+    return best
+
+
+t_ss = bench(via_searchsorted, "searchsorted")
+t_tl = bench(via_twolevel, "two-level count")
+log(f"speedup: {t_ss / t_tl:.2f}x")
