@@ -242,6 +242,59 @@ def _run_phase(phase, attempts=4, timeout=1500):
     return None
 
 
+REGRESSION_TOLERANCE = 0.10   # fail the bench on a >10% drop vs last round
+
+
+def _previous_round_numbers():
+    """(render_fps, train_its) from the newest BENCH_r*.json with real
+    values, or (None, None). The driver writes one per round — comparing
+    against it turns the bench into a regression gate: a silent perf drop
+    >10% exits nonzero instead of passing quietly (VERDICT r3 weak #6)."""
+    import glob
+    import re
+
+    best_round, prev = -1, None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                payload = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(payload, dict):
+            continue
+        # the driver wraps the JSON line under "parsed" (rc/cmd/tail siblings)
+        result = payload.get("parsed") or payload.get("result") or payload
+        if not isinstance(result, dict) or result.get("value") is None:
+            continue
+        if int(m.group(1)) > best_round:
+            best_round, prev = int(m.group(1)), result
+    if prev is None:
+        return None, None
+    return prev.get("value"), prev.get("train_iters_per_sec_800p")
+
+
+def _regressed(render_fps, train_its):
+    """True when either metric dropped >REGRESSION_TOLERANCE vs the last
+    recorded round (missing current values are handled by the caller)."""
+    prev_fps, prev_its = _previous_round_numbers()
+    bad = False
+    for name, now, ref in (("render_fps_1080p", render_fps, prev_fps),
+                           ("train_its_800p", train_its, prev_its)):
+        if now is None or ref is None:
+            continue
+        if now < ref * (1.0 - REGRESSION_TOLERANCE):
+            sys.stderr.write(
+                f"[bench] REGRESSION: {name} {now:.2f} is more than "
+                f"{REGRESSION_TOLERANCE:.0%} below the previous round's "
+                f"{ref:.2f}\n")
+            bad = True
+    return bad
+
+
 def main():
     # Fast pre-flight: with a wedged TPU tunnel, backend init HANGS rather
     # than erroring, and each phase attempt would burn its full timeout —
@@ -276,8 +329,11 @@ def main():
         "baseline_src": "3dgs-paper-30fps-1080p;consumer-gpu-15its",
     }
     print(json.dumps(result))
-    # both phases must have produced a number for the bench to count as green
-    return 0 if (render_fps is not None and train_its is not None) else 1
+    # green requires BOTH phases to produce a number AND neither to have
+    # regressed >10% vs the previous round's recorded BENCH json
+    if render_fps is None or train_its is None:
+        return 1
+    return 1 if _regressed(render_fps, train_its) else 0
 
 
 def _device_name():

@@ -21,12 +21,15 @@ def _u8_fn():
 
 
 def render_set(model_path, name, iteration, views, trainer_state, bg,
-               raster_cfg, antialiasing, active_sh, window=32):
+               raster_cfg, antialiasing, active_sh, window=32,
+               render_fn=None):
     import numpy as np
     from collections import deque
     from PIL import Image as PILImage
 
     from sparse_view_3dgs_pack_tpu.renderer import render
+    if render_fn is None:
+        render_fn = render
 
     render_path = os.path.join(model_path, name, f"ours_{iteration}",
                                "renders")
@@ -51,8 +54,8 @@ def render_set(model_path, name, iteration, views, trainer_state, bg,
                     os.path.join(gts_path, f"{idx:05d}.png"))
 
     for idx, view in enumerate(views):
-        res = render(trainer_state, view, bg, sh_degree_active=active_sh,
-                     antialiasing=antialiasing, config=raster_cfg)
+        res = render_fn(trainer_state, view, bg, sh_degree_active=active_sh,
+                        antialiasing=antialiasing, config=raster_cfg)
         pending.append((idx, view, to_u8(res.render)))
         drain(window - 1)
     drain(0)
@@ -83,13 +86,16 @@ def _depth_colormap(depth, alpha):
 
 
 def render_video(model_path, iteration, views, state, bg, raster_cfg,
-                 antialiasing, active_sh, fps=30, depth_video=False):
+                 antialiasing, active_sh, fps=30, depth_video=False,
+                 render_fn=None):
     """Spiral-path video (FSGS `render.py:55-81`); with depth_video also a
     depth-colormap spiral (DNGaussian `spiral.py`)."""
     import cv2
     import numpy as np
 
     from sparse_view_3dgs_pack_tpu.renderer import render
+    if render_fn is None:
+        render_fn = render
     from sparse_view_3dgs_pack_tpu.utils.pose_utils import (
         generate_ellipse_path, generate_spiral_path)
 
@@ -115,8 +121,8 @@ def render_video(model_path, iteration, views, state, bg, raster_cfg,
                 dwriter.write(cv2.cvtColor(dm, cv2.COLOR_RGB2BGR))
 
     for cam in path_cams:
-        res = render(state, cam, bg, sh_degree_active=active_sh,
-                     antialiasing=antialiasing, config=raster_cfg)
+        res = render_fn(state, cam, bg, sh_degree_active=active_sh,
+                        antialiasing=antialiasing, config=raster_cfg)
         pending.append((to_u8(res.render),
                         res.expected_depth if dwriter is not None else None,
                         res.alpha if dwriter is not None else None))
@@ -174,19 +180,37 @@ def main(argv=None):
                                 max_per_tile=getattr(pipe, "max_per_tile", 0))
     sh = state.max_sh_degree
 
+    # DNGaussian models render through their neural color/opacity field —
+    # the PLY alone holds init SH colors (reference `DNGaussian/render.py:
+    # 138-147` reloads the GridRenderer from chkpnt before rendering)
+    render_fn = None
+    neural_path = os.path.join(dataset.model_path, "point_cloud",
+                               f"iteration_{scene.loaded_iter}",
+                               "neural_renderer.npz")
+    if os.path.exists(neural_path):
+        from functools import partial as _partial
+
+        from sparse_view_3dgs_pack_tpu.models.neural_field import \
+            load_neural_npz
+        from sparse_view_3dgs_pack_tpu.renderer import render_neural
+        neural_params, neural_cfg = load_neural_npz(neural_path)
+        render_fn = _partial(render_neural, neural_params=neural_params,
+                             neural_cfg=neural_cfg)
+        print(f"Rendering with neural field: {neural_path}")
+
     if not args.skip_train and scene.getTrainCameras():
         render_set(dataset.model_path, "train", scene.loaded_iter,
                    scene.getTrainCameras(), state, bg, cfg,
-                   pipe.antialiasing, sh)
+                   pipe.antialiasing, sh, render_fn=render_fn)
     if not args.skip_test and scene.getTestCameras():
         render_set(dataset.model_path, "test", scene.loaded_iter,
                    scene.getTestCameras(), state, bg, cfg,
-                   pipe.antialiasing, sh)
+                   pipe.antialiasing, sh, render_fn=render_fn)
     if args.video or args.depth_video:
         render_video(dataset.model_path, scene.loaded_iter,
                      scene.getTrainCameras(), state, bg, cfg,
                      pipe.antialiasing, sh, fps=args.fps,
-                     depth_video=args.depth_video)
+                     depth_video=args.depth_video, render_fn=render_fn)
 
 
 if __name__ == "__main__":

@@ -87,3 +87,49 @@ def neural_forward(params, x, dirs,
     """(sigma (N,), color (N, 3)) — `GridRenderer.forward`."""
     sigma, geo = neural_density(params, x, cfg)
     return sigma, neural_color(params, geo, dirs, cfg)
+
+
+def save_neural_npz(path: str, params, cfg: NeuralFieldConfig) -> None:
+    """Persist the field so render-time reconstruction matches training —
+    the reference reloads the whole GridRenderer from `chkpnt_latest.pth`
+    before rendering (`DNGaussian/train_llff.py:232-235`,
+    `render.py:138-147`); here the npz travels with the PLY."""
+    import os
+
+    import numpy as np
+
+    leaves, _ = jax.tree_util.tree_flatten_with_path(params)
+    flat = {"p" + jax.tree_util.keystr(kp): np.asarray(leaf)
+            for kp, leaf in leaves}
+    flat["__cfg__"] = np.asarray(
+        [cfg.grid.num_levels, cfg.grid.level_dim, cfg.grid.base_resolution,
+         cfg.grid.log2_hashmap_size, cfg.grid.desired_resolution,
+         cfg.hidden_dim, cfg.geo_feat_dim, cfg.num_layers_sigma,
+         cfg.hidden_dim_color, cfg.num_layers_color, cfg.sh_degree],
+        np.int64)
+    flat["__bound__"] = np.asarray(cfg.bound, np.float32)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_neural_npz(path: str):
+    """→ (params, cfg). Leaves are matched by pytree key-path against a
+    template of the saved architecture, so loading is shape-checked."""
+    import numpy as np
+
+    data = np.load(path)
+    c = [int(v) for v in data["__cfg__"]]
+    cfg = NeuralFieldConfig(
+        grid=HashGridConfig(*c[:5]), hidden_dim=c[5], geo_feat_dim=c[6],
+        num_layers_sigma=c[7], hidden_dim_color=c[8], num_layers_color=c[9],
+        sh_degree=c[10], bound=float(data["__bound__"]))
+    template = init_neural_field(jax.random.PRNGKey(0), cfg)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    loaded = []
+    for kp, leaf in leaves:
+        arr = jnp.asarray(data["p" + jax.tree_util.keystr(kp)])
+        if arr.shape != leaf.shape:
+            raise ValueError(f"neural npz leaf {jax.tree_util.keystr(kp)}: "
+                             f"shape {arr.shape} != expected {leaf.shape}")
+        loaded.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, loaded), cfg

@@ -202,6 +202,59 @@ def _render_jit(params, alive, exposure_mat, cam, width, height, bg_color,
                        use_pallas=use_pallas, inference=True)
 
 
+def render_neural(state: gm.GaussianState, camera, bg_color,
+                  neural_params=None, neural_cfg=None,
+                  sh_degree_active: Optional[int] = None,
+                  scaling_modifier: float = 1.0, antialiasing: bool = False,
+                  use_trained_exp: bool = False,
+                  config: Optional[RasterConfig] = None,
+                  use_pallas: Optional[bool] = None,
+                  override_color=None) -> RenderResult:
+    """DNGaussian inference render: per-Gaussian color and opacity come
+    from the hash-grid neural field, exactly as in training (the reference
+    reloads the GridRenderer at render time, `DNGaussian/render.py:138-147`
+    — rendering its PLY with SH would show init colors). Signature matches
+    `render` so CLIs can swap the two."""
+    if use_pallas is None:
+        import jax as _jax
+        use_pallas = _jax.default_backend() not in ("cpu",)
+    if config is None:
+        config = default_raster_config(state.capacity, camera.width,
+                                       camera.height)
+    if sh_degree_active is None:
+        sh_degree_active = state.max_sh_degree
+    return _render_neural_jit(state.params, state.alive.astype(jnp.float32),
+                              neural_params, camera.params(),
+                              camera.width, camera.height,
+                              jnp.asarray(bg_color, jnp.float32),
+                              sh_degree_active, config, neural_cfg,
+                              scaling_modifier, antialiasing, use_pallas)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "sh_degree_active",
+                                   "config", "neural_cfg",
+                                   "scaling_modifier", "antialiasing",
+                                   "use_pallas"))
+def _render_neural_jit(params, alive, neural_params, cam, width, height,
+                       bg_color, sh_degree_active, config, neural_cfg,
+                       scaling_modifier, antialiasing, use_pallas):
+    from .models.neural_field import neural_forward
+
+    xyz = params["xyz"]
+    dirs = xyz - cam.cam_center[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
+                              1e-12)
+    sigma, color = neural_forward(neural_params, xyz, dirs, neural_cfg)
+    # final opacity = sigmoid(sigma) · sigmoid(point opacity)
+    # (reference `DNGaussian/scene/gaussian_model.py:141-157`)
+    opacity = jax.nn.sigmoid(sigma) * jax.nn.sigmoid(params["opacity"][:, 0])
+    return render_core(params, alive, jnp.eye(3, 4), cam, width, height,
+                       bg_color, sh_degree_active, config, scaling_modifier,
+                       antialiasing, override_color=color,
+                       opacity_override=opacity, use_pallas=use_pallas,
+                       inference=True)
+
+
 def default_raster_config(capacity: int, width: int, height: int,
                           max_pairs: int = 0, max_per_tile: int = 0,
                           tile_batch: int = 64) -> RasterConfig:

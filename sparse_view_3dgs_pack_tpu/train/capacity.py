@@ -20,7 +20,9 @@ from ..models import gaussians as gm
 
 GROW_FRACTION = 0.85        # grow when alive exceeds this share of capacity
 PAIR_HARD_CAP = 1 << 23     # beyond this, transient blow-ups drop tail pairs
-PAIR_SHRINK_STREAK = 5      # consecutive oversize checks before shrinking
+PAIR_SHRINK_STREAK = 50     # consecutive oversize checks before shrinking
+                            # (checks run once per iteration via LaggedScalar
+                            # → ~50 iterations of sustained 3x headroom)
 
 
 def pad_moment(a, target):
@@ -73,6 +75,34 @@ def dropped_appends(res, it, capacity, quiet=False) -> bool:
         print(f"[densify] WARNING iter {it}: {req - app} of {req} appends "
               f"dropped at capacity {capacity}; growing now")
     return True
+
+
+class LaggedScalar:
+    """One-step-delayed host readback of a per-step device scalar.
+
+    Fetching a step metric synchronously every iteration would stall async
+    dispatch (the host would block on the step it just enqueued). Instead
+    the loop hands each step's unfetched device scalar to `swap`, which
+    returns the PREVIOUS step's value — by then the device has already
+    retired (or is retiring) that step behind the newly dispatched one, so
+    the host blocks only on completed work and the dispatch pipeline keeps
+    a depth of one. Used for per-iteration pair-overflow detection: an
+    overflow at step i grows the bucket before step i+2, vs up to 9 stale
+    steps under the old every-10-iterations sampling.
+    """
+
+    def __init__(self):
+        self._pending = None
+
+    def swap(self, value):
+        """Stash this step's scalar; return last step's as int (or None)."""
+        prev, self._pending = self._pending, value
+        return None if prev is None else int(prev)
+
+    def flush(self):
+        """Resolve the stashed scalar without replacing it (end of loop)."""
+        prev, self._pending = self._pending, None
+        return None if prev is None else int(prev)
 
 
 class PairBucket:

@@ -21,6 +21,7 @@ statistically equivalent.
 
 from __future__ import annotations
 
+import os
 import random
 import time
 from functools import partial
@@ -36,7 +37,7 @@ from ..losses.photometric import l1_loss
 from ..losses.ssim import ssim
 from ..models import gaussians as gm
 from ..models.neural_field import (NeuralFieldConfig, init_neural_field,
-                                   neural_forward)
+                                   neural_forward, save_neural_npz)
 from ..ops.rasterize_tiles import RasterConfig
 from ..renderer import default_raster_config, render_core
 from ..scene import Scene
@@ -69,17 +70,54 @@ class DNGConfig(NamedTuple):
     use_pallas: bool = False
 
 
-def _neural_outputs(neural_params, state, cam_center, cfg: DNGConfig):
-    xyz = state.params["xyz"]
+def _neural_outputs(neural_params, params, cam_center, cfg: DNGConfig):
+    xyz = params["xyz"]
     dirs = xyz - cam_center[None, :]
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
                               1e-12)
     sigma, color = neural_forward(neural_params, xyz, dirs, cfg.neural)
     # final opacity = sigmoid(sigma) · sigmoid(point opacity)
     # (reference `gaussian_model.py:141-157`)
-    opacity = jax.nn.sigmoid(sigma) * jax.nn.sigmoid(
-        state.params["opacity"][:, 0])
+    opacity = jax.nn.sigmoid(sigma) * jax.nn.sigmoid(params["opacity"][:, 0])
     return color, opacity
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _dng_eval_view(params, alive_f, neural_params, cam, gt, bg,
+                   cfg: DNGConfig):
+    """(psnr, l1, ssim) for one test view, reduced ON DEVICE, rendered
+    exactly like training pass 3 (neural color/opacity when use_neural)."""
+    from ..utils.image import psnr as psnr_fn
+
+    if cfg.use_neural:
+        color, opac = _neural_outputs(neural_params, params,
+                                      cam.cam_center, cfg)
+    else:
+        color, opac = None, jax.nn.sigmoid(params["opacity"][:, 0])
+    res = render_core(params, alive_f, jnp.eye(3, 4), cam, cfg.width,
+                      cfg.height, bg, sh_degree_active=cfg.sh_degree,
+                      config=cfg.raster, override_color=color,
+                      opacity_override=opac, use_pallas=cfg.use_pallas,
+                      inference=True)
+    return (psnr_fn(res.render, gt), jnp.mean(jnp.abs(res.render - gt)),
+            ssim(res.render, gt))
+
+
+def _dng_evaluate(state, neural_params, cameras, bg, active_sh, raster_cfg,
+                  cfg: DNGConfig) -> dict:
+    """In-training report over a camera list (reference training_report)."""
+    if not cameras:
+        return {}
+    alive_f = state.alive.astype(jnp.float32)
+    outs = [_dng_eval_view(state.params, alive_f, neural_params,
+                           cam.params(),
+                           jnp.asarray(cam.image[..., :3], jnp.float32), bg,
+                           cfg._replace(raster=raster_cfg))
+            for cam in cameras]
+    return {"psnr": float(np.mean([float(p) for p, _, _ in outs])),
+            "l1": float(np.mean([float(l) for _, l, _ in outs])),
+            "ssim": float(np.mean([float(s) for _, _, s in outs])),
+            "n_views": len(cameras)}
 
 
 def _depth_losses(depth, depth_mono, image_like, patch_idx,
@@ -129,8 +167,7 @@ def dng_step(state, neural_params, adam, neural_adam, bank: CameraBank,
             color = jnp.ones((cap, 3))
             opac = jnp.full((cap,), opacity_value)
         elif cfg.use_neural:
-            color, opac = _neural_outputs(neural_p, state._replace(params=p),
-                                          cam.cam_center, cfg)
+            color, opac = _neural_outputs(neural_p, p, cam.cam_center, cfg)
         else:
             color, opac = None, jax.nn.sigmoid(p["opacity"][:, 0])
         return render_core(
@@ -187,9 +224,7 @@ def dng_step(state, neural_params, adam, neural_adam, bank: CameraBank,
             jnp.maximum(mask.sum(), 1.0)
         scale_pena = jnp.sum(smax ** 2 * mask) / jnp.maximum(mask.sum(), 1.0)
         if cfg.use_neural:
-            _, opac = _neural_outputs(neural_p,
-                                      state._replace(params=params),
-                                      cam.cam_center, cfg)
+            _, opac = _neural_outputs(neural_p, params, cam.cam_center, cfg)
         else:
             opac = jax.nn.sigmoid(params["opacity"][:, 0])
         hi = ((opac > 0.2) & state.alive).astype(jnp.float32)
@@ -315,7 +350,8 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
     viewpoint_stack = []
     t0 = time.time()
     save_iters = set(args.save_iterations)
-    check_pairs_next = False
+    test_iters = set(getattr(args, "test_iterations", None) or [])
+    pair_lag = capacity.LaggedScalar()
 
     for it in range(1, opt.iterations + 1):
         if it % 1000 == 0 and active_sh < dataset.sh_degree:
@@ -347,7 +383,6 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
             shapes_dirty = False
             speculate(cfg, lrs)
 
-        densified = False
         if (it < opt.densify_until_iter and it > opt.densify_from_iter
                 and it % opt.densification_interval == 0):
             state, adam, grew = capacity.ensure_headroom(state, adam)
@@ -359,7 +394,6 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
                                     scene.cameras_extent, max_screen_size=0,
                                     percent_dense=opt.percent_dense)
             state, adam = res.state, res.opt_state
-            densified = True
             if capacity.dropped_appends(res, it, state.capacity):
                 state, adam = capacity.grow_state(state, adam)
                 rebuild_cfg()
@@ -376,20 +410,41 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
         # debug snapshot on non-finite loss (reference CHECK_CUDA dump path)
         debug.check_step(pipe, it, metrics, state, dataset.model_path)
 
-        # pair-bucket overflow drops tail pairs; check on the logging
-        # cadence and right after densify events (the only jump moments)
-        if check_pairs_next or it % 10 == 0:
-            new_pairs = pair_bucket.update(int(metrics["n_pairs"]))
+        # pair-bucket overflow drops tail pairs; check every iteration via
+        # the one-step-lagged readback (no async-dispatch stall — see
+        # capacity.LaggedScalar)
+        prev_pairs = pair_lag.swap(metrics["n_pairs"])
+        if prev_pairs is not None:
+            new_pairs = pair_bucket.update(prev_pairs)
             if new_pairs is not None:
                 rebuild_cfg(new_pairs)
-        check_pairs_next = densified
 
         if it % 100 == 0:
             print(f"[{it}/{opt.iterations}] loss="
                   f"{float(metrics['loss']):.5f}", flush=True)
+        if it in test_iters or it == opt.iterations:
+            # in-training PSNR/SSIM on test views, on device, rendered the
+            # way the model actually trains — through the neural field when
+            # use_neural (reference `DNGaussian/train_llff.py` training
+            # report renders via the GridRenderer)
+            from .loop import format_eval
+            stats = _dng_evaluate(state, neural_params, scene.getTestCameras(),
+                                  bg, active_sh, raster_cfg, cfg)
+            if stats:
+                print(f"\n[ITER {it}] Evaluating test: "
+                      f"{format_eval(stats)}", flush=True)
         if it in save_iters or it == opt.iterations:
             scene.gaussians = state
             scene.save(it)
+            if cfg.use_neural:
+                # the PLY alone cannot reproduce DNG renders — color and
+                # opacity-sigma live in the field; persist it beside the
+                # PLY so render.py reconstructs training-time output
+                # (reference `train_llff.py:232-235` chkpnt_latest.pth)
+                save_neural_npz(
+                    os.path.join(dataset.model_path, "point_cloud",
+                                 f"iteration_{it}", "neural_renderer.npz"),
+                    neural_params, neural_cfg)
 
     elapsed = time.time() - t0
     print(f"DNGaussian training took {elapsed:.1f}s "

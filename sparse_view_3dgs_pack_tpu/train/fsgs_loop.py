@@ -285,9 +285,10 @@ def train_fsgs(dataset, opt, pipe, args):
     depth_weight = float(opt.depth_weight)
     active_sh = 0
     viewpoint_stack = []
-    check_pairs_next = False
+    pair_lag = capacity.LaggedScalar()
     t0 = time.time()
     save_iters = set(args.save_iterations)
+    test_iters = set(getattr(args, "test_iterations", None) or [])
 
     for it in range(1, opt.iterations + 1):
         if it % 500 == 0 and active_sh < dataset.sh_degree:
@@ -352,7 +353,6 @@ def train_fsgs(dataset, opt, pipe, args):
         # clone → split(+dist mask) → proximity until iter 2000 → prune;
         # here the prune happens inside densify_and_prune before proximity —
         # a one-event ordering deviation on the appended midpoints)
-        densified = False
         if it < opt.densify_until_iter:
             if (it > opt.densify_from_iter
                     and it % opt.densification_interval == 0):
@@ -369,7 +369,6 @@ def train_fsgs(dataset, opt, pipe, args):
                                         percent_dense=opt.percent_dense,
                                         extra_split_mask=extra_split)
                 state, adam = res.state, res.opt_state
-                densified = True
                 if capacity.dropped_appends(res, it, state.capacity):
                     state, adam = capacity.grow_state(state, adam)
                     rebuild_cfg()
@@ -392,16 +391,27 @@ def train_fsgs(dataset, opt, pipe, args):
         # debug snapshot on non-finite loss (reference CHECK_CUDA dump path)
         debug.check_step(pipe, it, metrics, state, dataset.model_path)
 
-        # pair-bucket overflow drops tail pairs; check on the logging
-        # cadence and right after densify events (the only jump moments)
-        if check_pairs_next or it % 10 == 0:
-            if pair_bucket.update(int(metrics["n_pairs"])) is not None:
-                rebuild_cfg()
-        check_pairs_next = densified
+        # pair-bucket overflow drops tail pairs; check every iteration via
+        # the one-step-lagged readback (no async-dispatch stall — see
+        # capacity.LaggedScalar)
+        prev_pairs = pair_lag.swap(metrics["n_pairs"])
+        if prev_pairs is not None and pair_bucket.update(prev_pairs) is not None:
+            rebuild_cfg()
 
         if it % 100 == 0:
             print(f"[{it}/{opt.iterations}] loss="
                   f"{float(metrics['loss']):.5f}", flush=True)
+        if it in test_iters or it == opt.iterations:
+            # in-training report on test views + a train-view sample, PSNR/
+            # SSIM(+LPIPS) on device (reference `FSGS/train.py:210-239`)
+            from .loop import evaluate_cameras, format_eval
+            for name, vs in (("test", scene.getTestCameras()),
+                             ("train", cams[:5])):
+                stats = evaluate_cameras(state, vs, bg, active_sh,
+                                         raster_cfg, cfg.use_pallas)
+                if stats:
+                    print(f"\n[ITER {it}] Evaluating {name}: "
+                          f"{format_eval(stats)}", flush=True)
         if it in save_iters or it == opt.iterations:
             scene.gaussians = state
             scene.save(it)

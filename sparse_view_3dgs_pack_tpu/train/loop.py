@@ -44,14 +44,64 @@ class TrainerEvents:
 def _eval_view_metrics(params, alive, exposure_mat, cam, gt, width, height,
                        bg_color, sh_degree_active, config, antialiasing,
                        use_pallas):
-    """Render one eval view and reduce to (psnr, l1) ON DEVICE — only two
+    """Render one eval view and reduce to (psnr, l1, ssim) ON DEVICE — only
     scalars cross the host link (a full-image fetch + re-upload per view
-    made evals minutes-long over the remote-TPU tunnel)."""
+    made evals minutes-long over the remote-TPU tunnel). SSIM matches the
+    reference's in-training report (`FSGS/train.py:210-239` computes
+    SSIM/LPIPS on test views; LGDWT reports L1/PSNR)."""
+    from ..losses.ssim import ssim as ssim_fn
     res = render_core(params, alive, exposure_mat, cam, width, height,
                       bg_color, sh_degree_active, config,
                       antialiasing=antialiasing, use_pallas=use_pallas,
                       inference=True)
-    return psnr_fn(res.render, gt), jnp.mean(jnp.abs(res.render - gt))
+    return (psnr_fn(res.render, gt), jnp.mean(jnp.abs(res.render - gt)),
+            ssim_fn(res.render, gt))
+
+
+def evaluate_cameras(state, cameras, bg, active_sh, raster_cfg, use_pallas,
+                     antialiasing=False, gt_fn=None, channels=3):
+    """PSNR/L1/SSIM (+ real LPIPS when pretrained weights exist) over a
+    camera list — the shared reduction behind `Trainer.evaluate` and the
+    standalone loops' in-training reports (reference
+    `FSGS/train.py:210-239`, `DNGaussian/train_llff.py:258-303`). All
+    per-view metrics reduce ON DEVICE; only scalars cross the host link."""
+    if not cameras:
+        return {}
+    if gt_fn is None:
+        def gt_fn(cam):
+            return jnp.asarray(cam.image[..., :channels], jnp.float32)
+    # dispatch every view's on-device (psnr, l1, ssim) before fetching
+    # any — the scalars pipeline behind each other's renders
+    outs = [_eval_view_metrics(
+                state.params, state.alive.astype(jnp.float32),
+                state.exposure[0], cam.params(), gt_fn(cam),
+                cam.width, cam.height, bg, active_sh, raster_cfg,
+                antialiasing, use_pallas)
+            for cam in cameras]
+    stats = {"psnr": float(np.mean([float(p) for p, _, _ in outs])),
+             "l1": float(np.mean([float(l) for _, l, _ in outs])),
+             "ssim": float(np.mean([float(s) for _, _, s in outs])),
+             "n_views": len(cameras)}
+    # real LPIPS only when pretrained weights are present — the proxy
+    # must never leak into an in-training "lpips" scalar
+    from ..metrics.lpips import lpips_is_proxy
+    if not lpips_is_proxy("vgg"):
+        from ..metrics.lpips import lpips as lpips_fn
+        vals = [lpips_fn(
+                    render(state, cam, bg, sh_degree_active=active_sh,
+                           config=raster_cfg).render, gt_fn(cam))
+                for cam in cameras]
+        stats["lpips"] = float(np.mean([float(v) for v in vals]))
+    return stats
+
+
+def format_eval(stats: dict) -> str:
+    """One-line human report: `PSNR 21.13 SSIM 0.7421 [LPIPS 0.3120]`."""
+    line = (f"PSNR {stats.get('psnr', 0):.2f}"
+            f" SSIM {stats.get('ssim', 0):.4f}")
+    if "lpips" in stats:
+        line += f" LPIPS {stats['lpips']:.4f}"
+    return line
 
 
 def resolve_data_parallel(value) -> int:
@@ -136,6 +186,7 @@ class Trainer:
         self.events = TrainerEvents()
         self.pair_bucket = capacity.PairBucket(self._raster_cfg.max_pairs,
                                                quiet=self.quiet)
+        self.pair_lag = capacity.LaggedScalar()
 
     # -------------------------------------------------------------- config
     def _rebuild_config(self):
@@ -373,7 +424,6 @@ class Trainer:
                           "active_sh_degree": self.active_sh_degree})
 
         # densification events (reference train.py:265-276)
-        densified = False
         if it < o.densify_until_iter:
             if it > o.densify_from_iter and it % o.densification_interval == 0:
                 self._maybe_grow()
@@ -385,7 +435,6 @@ class Trainer:
                     self.scene.cameras_extent, max_screen_size=size_thr,
                     percent_dense=o.percent_dense)
                 self.state, self.adam = res.state, res.opt_state
-                densified = True
                 self._dp_clean = False
                 if capacity.dropped_appends(res, it, self.state.capacity):
                     # unconditional: a drop means the event ran out of room
@@ -400,14 +449,14 @@ class Trainer:
                 self.state, self.adam = reset_opacity(self.state, self.adam)
                 self._dp_clean = False
 
-        # pair-bucket overflow drops tail pairs (subtly wrong renders), so
-        # check on the logging cadence AND on the first step AFTER a densify
-        # event — the only moment the pair count can jump. (Not every
-        # iteration: that would force a host sync per step and stall async
-        # dispatch.)
-        if getattr(self, "_check_pairs_next", False) or it % 10 == 0:
-            self._maybe_grow_pairs(int(metrics["n_pairs"]))
-        self._check_pairs_next = densified
+        # pair-bucket overflow drops tail pairs (subtly wrong renders).
+        # Check EVERY iteration via a one-step-lagged readback: the previous
+        # step's n_pairs resolves behind the step just dispatched, so no
+        # async-dispatch stall, and a jump (camera change, densify) grows
+        # the bucket within one step instead of up to 9 stale ones.
+        prev_pairs = self.pair_lag.swap(metrics["n_pairs"])
+        if prev_pairs is not None:
+            self._maybe_grow_pairs(prev_pairs)
 
         for cb in self.events.on_iteration:
             cb(it, self, metrics)
@@ -437,19 +486,11 @@ class Trainer:
         use_pallas = getattr(self.pipe, "use_pallas", None)
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
-        # dispatch every view's on-device (psnr, l1) before fetching any —
-        # the scalars pipeline behind each other's renders
-        outs = [_eval_view_metrics(
-                    self.state.params, self.state.alive.astype(jnp.float32),
-                    self.state.exposure[0], cam.params(), self._eval_gt(cam),
-                    cam.width, cam.height, self.background,
-                    self.active_sh_degree, self._raster_cfg,
-                    getattr(self.pipe, "antialiasing", False), use_pallas)
-                for cam in cameras]
-        psnrs = [float(p) for p, _ in outs]
-        l1s = [float(l) for _, l in outs]
-        return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s)),
-                "n_views": len(cameras)}
+        return evaluate_cameras(
+            self.state, cameras, self.background, self.active_sh_degree,
+            self._raster_cfg, use_pallas,
+            antialiasing=getattr(self.pipe, "antialiasing", False),
+            gt_fn=self._eval_gt)
 
     def save_scene(self, iteration: int):
         self.scene.gaussians = self.state
@@ -497,7 +538,7 @@ def simple_train(scene, opt, pipe, dataset_args, method="lgdwt",
         if it in testing_iterations:
             stats = trainer.evaluate(scene.getTestCameras() or
                                      scene.getTrainCameras()[:4])
-            print(f"\n[ITER {it}] Evaluating: PSNR {stats.get('psnr', 0):.2f}")
+            print(f"\n[ITER {it}] Evaluating: {format_eval(stats)}")
             if reporter.writer is not None and getattr(opt, "dwt_enable",
                                                        False):
                 # WEF heatmaps for the first eval view (reference TB hooks)
@@ -511,6 +552,11 @@ def simple_train(scene, opt, pipe, dataset_args, method="lgdwt",
             if reporter.writer is not None:
                 reporter.writer.add_scalar("test/psnr",
                                            stats.get("psnr", 0.0), it)
+                reporter.writer.add_scalar("test/ssim",
+                                           stats.get("ssim", 0.0), it)
+                if "lpips" in stats:
+                    reporter.writer.add_scalar("test/lpips",
+                                               stats["lpips"], it)
                 reporter.histogram(it, "scene/opacity_histogram",
                                    np.asarray(gm.get_opacity(trainer.state)))
                 reporter.writer.add_scalar("scene/total_points",

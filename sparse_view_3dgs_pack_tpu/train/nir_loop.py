@@ -174,7 +174,7 @@ def train_nir(dataset, opt, pipe, args):
     carry = jnp.ones(())
     active_sh = 0
     viewpoint_stack = []
-    check_pairs_next = False
+    pair_lag = capacity.LaggedScalar()
     save_iters = set(args.save_iterations)
     t0 = time.time()
 
@@ -194,7 +194,6 @@ def train_nir(dataset, opt, pipe, args):
             shapes_dirty = False
             speculate(carry, lrs)
 
-        densified = False
         if it < opt.densify_until_iter:
             if (it > opt.densify_from_iter
                     and it % opt.densification_interval == 0):
@@ -209,7 +208,6 @@ def train_nir(dataset, opt, pipe, args):
                                             else 0),
                                         percent_dense=opt.percent_dense)
                 state, adam = res.state, res.opt_state
-                densified = True
                 if capacity.dropped_appends(res, it, state.capacity):
                     state, adam = capacity.grow_state(state, adam)
                     rebuild_cfg()
@@ -219,12 +217,12 @@ def train_nir(dataset, opt, pipe, args):
         # debug snapshot on non-finite loss (reference CHECK_CUDA dump path)
         debug.check_step(pipe, it, metrics, state, dataset.model_path)
 
-        # pair-bucket overflow drops tail pairs; check on the logging
-        # cadence and right after densify events (the only jump moments)
-        if check_pairs_next or it % 10 == 0:
-            if pair_bucket.update(int(metrics["n_pairs"])) is not None:
-                rebuild_cfg()
-        check_pairs_next = densified
+        # pair-bucket overflow drops tail pairs; check every iteration via
+        # the one-step-lagged readback (no async-dispatch stall — see
+        # capacity.LaggedScalar)
+        prev_pairs = pair_lag.swap(metrics["n_pairs"])
+        if prev_pairs is not None and pair_bucket.update(prev_pairs) is not None:
+            rebuild_cfg()
 
         if it % 100 == 0:
             print(f"[{it}/{opt.iterations}] loss="

@@ -379,3 +379,59 @@ def test_dng_e2e_blender_and_dtu_variants(tmp_path):
         xyz = np.asarray(
             scene.gaussians.params["xyz"][:int(scene.gaussians.n_alive)])
         assert np.isfinite(xyz).all()
+        # neural field persisted beside the final PLY so render.py can
+        # reconstruct training-time colors (use_neural=1 here)
+        assert os.path.exists(os.path.join(
+            args.model_path, "point_cloud", "iteration_8",
+            "neural_renderer.npz"))
+
+
+def test_dng_neural_npz_roundtrip_and_render(tmp_path):
+    """save/load_neural_npz round-trip bit-exactly, and `render_neural`
+    reproduces the training-time pass-3 image — NOT the SH render (the
+    reference reloads the GridRenderer at render time,
+    `DNGaussian/render.py:138-147`; rendering a DNG PLY via SH would show
+    init colors)."""
+    from sparse_view_3dgs_pack_tpu.models.neural_field import (
+        NeuralFieldConfig, init_neural_field, load_neural_npz,
+        save_neural_npz)
+    from sparse_view_3dgs_pack_tpu.ops.hashgrid import HashGridConfig
+    from sparse_view_3dgs_pack_tpu.renderer import (render, render_core,
+                                                    render_neural)
+    from sparse_view_3dgs_pack_tpu.train.dng_loop import (DNGConfig,
+                                                          _neural_outputs)
+
+    state, _, cams = _state_and_bank()
+    ncfg = NeuralFieldConfig(
+        grid=HashGridConfig(num_levels=4, level_dim=2, base_resolution=4,
+                            log2_hashmap_size=10, desired_resolution=32),
+        bound=2.0)
+    nparams = init_neural_field(jax.random.PRNGKey(3), ncfg)
+    path = str(tmp_path / "nested" / "neural_renderer.npz")
+    save_neural_npz(path, nparams, ncfg)
+    loaded, lcfg = load_neural_npz(path)
+    assert lcfg == ncfg
+    for a, b in zip(jax.tree_util.tree_leaves(nparams),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cam = cams[0]
+    bg = jnp.zeros(3)
+    out_n = render_neural(state, cam, bg, neural_params=loaded,
+                          neural_cfg=lcfg, config=CFG, use_pallas=False)
+    assert np.isfinite(np.asarray(out_n.render)).all()
+    # neural rendering must differ from the SH render of the same state
+    out_sh = render(state, cam, bg, config=CFG, use_pallas=False)
+    assert float(jnp.abs(out_n.render - out_sh.render).max()) > 1e-3
+    # ... and must equal the training pass's override_color/opacity render
+    dcfg = DNGConfig(width=cam.width, height=cam.height, sh_degree=2,
+                     raster=CFG, neural=ncfg)
+    color, opac = _neural_outputs(loaded, state.params,
+                                  jnp.asarray(cam.params().cam_center), dcfg)
+    ref = render_core(state.params, state.alive.astype(jnp.float32),
+                      jnp.eye(3, 4), cam.params(), cam.width, cam.height,
+                      bg, sh_degree_active=2, config=CFG,
+                      override_color=color, opacity_override=opac,
+                      inference=True)
+    np.testing.assert_allclose(np.asarray(out_n.render),
+                               np.asarray(ref.render), atol=1e-5)
