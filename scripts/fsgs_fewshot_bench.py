@@ -1,0 +1,272 @@
+#!/usr/bin/env python3
+"""Few-shot quality benchmark: FSGS vs DNGaussian vs 3dgs at 3 views on an
+LLFF-style COLMAP scene with an MVS-style dense init (VERDICT r3 task 1+2).
+
+The round-3 sweep ran FSGS on Blender-format orbit scenes with a 200-point
+sparse init — but the reference FSGS *requires* an MVS dense point cloud
+(`FSGS/scene/dataset_readers.py:266` loads `{n}_views/dense/fused.ply`) and
+its pseudo-view machinery assumes forward-facing LLFF rigs
+(`FSGS/scene/__init__.py:83-95`). This script builds the faithful fixture:
+
+* forward-facing camera rig (24 cams on a jittered disk, looking at the
+  scene), llffhold=8 eval split — the reader then picks 3 train views via
+  linspace exactly like `FSGS/scene/dataset_readers.py:259`;
+* COLMAP sparse/0 binaries + images/ renders of a 20k-Gaussian GT cloud;
+* `3_views/dense/fused.ply` — dense MVS-like init (true-color samples of
+  the GT surface + noise);
+* `depth_maps/` mono-style depth priors for the precomputed estimator.
+
+Arms (each train -> render -> metrics through the real CLIs):
+  fsgs_dense   — full reference recipe (dense init + depth priors)
+  fsgs_sparse  — ablation: sparse init (the round-3 sweep's config)
+  fsgs_nodepth — ablation: dense init, no depth priors
+  fsgs_noprox  — ablation: dense init + depth, proximity densify off
+  dngaussian   — ordering comparison (reference: FSGS >= DNG at 3 views)
+  3dgs         — few-shot baseline
+
+Usage: python scripts/fsgs_fewshot_bench.py [workdir] [--size 400]
+       [--iters_fsgs 10000] [--iters_dng 6000] [--arms a,b,c]
+"""
+import argparse
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def build_llff_colmap_scene(root, seed=3, size=400, n_cams=24,
+                            n_gauss=20_000, n_dense=30_000, n_sparse=300,
+                            use_pallas=True):
+    """Forward-facing COLMAP scene: cameras on a jittered disk at distance
+    ~4 looking at a structured Gaussian cloud; writes sparse/0 binaries,
+    images/, depth_maps/, and 3_views/dense/fused.ply."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from sparse_view_3dgs_pack_tpu import testing
+    from sparse_view_3dgs_pack_tpu.data import colmap
+    from sparse_view_3dgs_pack_tpu.data.cameras import Camera
+    from sparse_view_3dgs_pack_tpu.data.ply import store_point_cloud
+    from sparse_view_3dgs_pack_tpu.ops.projection import project_gaussians
+    from sparse_view_3dgs_pack_tpu.utils.graphics import fov2focal
+
+    rng = np.random.default_rng(seed)
+    W = H = size
+
+    # --- GT content: layered cloud (fore/mid/background slabs give the
+    # depth structure few-shot methods regularize against)
+    cloud = testing.make_gaussian_cloud(seed, n_gauss, extent=1.0,
+                                        scale_range=(0.01, 0.05))
+    xyz = cloud["xyz"]
+    # spread depth: map z in [-1,1] to three slabs around {0, 1.2, 2.6}
+    slab = rng.integers(0, 3, len(xyz))
+    xyz[:, 2] = xyz[:, 2] * np.array([0.5, 0.4, 0.8])[slab] \
+        + np.array([0.0, 1.2, 2.6])[slab]
+    cloud["xyz"] = xyz.astype(np.float32)
+
+    # --- forward-facing rig: jittered grid on the z=-4 plane, looking +z
+    fovx = math.radians(55)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
+    cams = []
+    for i in range(n_cams):
+        gx = (i % 6 - 2.5) * 0.45 + rng.normal(0, 0.05)
+        gy = (i // 6 - 1.5) * 0.45 + rng.normal(0, 0.05)
+        eye = np.array([gx, gy, -4.0 + rng.normal(0, 0.08)])
+        R, T = testing.look_at_rt(eye, (0, 0, 0.8), up=(0.0, -1.0, 0.0))
+        cams.append(Camera(uid=i, colmap_id=i + 1, R=R, T=T, fovx=fovx,
+                           fovy=fovy, image_name=f"img_{i:03d}.png",
+                           width=W, height=H))
+
+    # --- render GT images + depth via the real pipeline
+    if use_pallas:
+        from sparse_view_3dgs_pack_tpu.ops.binning import bin_gaussians
+        from sparse_view_3dgs_pack_tpu.ops.pallas.raster_vjp import \
+            make_pallas_rasterizer
+        raster = make_pallas_rasterizer(W, H, 3, inference=True)
+    else:
+        from sparse_view_3dgs_pack_tpu.ops.rasterize_tiles import (
+            RasterConfig, rasterize)
+
+    def render(cam):
+        p = cam.params()
+        proj = project_gaussians(
+            means3d=jnp.asarray(cloud["xyz"]),
+            scales=jnp.exp(jnp.asarray(cloud["scales"])),
+            quats=jnp.asarray(cloud["quats"]),
+            opacities=jax.nn.sigmoid(jnp.asarray(cloud["opacity"][:, 0])),
+            viewmat=jnp.asarray(p.viewmat),
+            full_proj=jnp.asarray(p.full_proj),
+            cam_center=jnp.asarray(p.cam_center),
+            tan_fovx=float(p.tan_fovx), tan_fovy=float(p.tan_fovy),
+            width=W, height=H, sh=jnp.asarray(cloud["features"]),
+            sh_degree=0)
+        if use_pallas:
+            ba = bin_gaussians(proj.means2d, proj.depths, proj.radii,
+                               W, H, 1 << 20)
+            color, _, depth, alpha = raster(
+                proj.means2d, proj.depths, proj.conics, proj.colors,
+                proj.opacities, ba.ids, ba.tile_starts, ba.tile_counts,
+                jnp.zeros(3))
+            return (np.asarray(color), np.asarray(depth), np.asarray(alpha))
+        out = rasterize(proj, W, H, jnp.zeros(3),
+                        RasterConfig(max_pairs=1 << 19, max_per_tile=1024,
+                                     tile_batch=16))
+        return (np.asarray(out.color), np.asarray(out.depth),
+                np.asarray(out.alpha))
+
+    sparse0 = os.path.join(root, "sparse/0")
+    imdir = os.path.join(root, "images")
+    ddir = os.path.join(root, "depth_maps")
+    os.makedirs(sparse0, exist_ok=True)
+    os.makedirs(imdir, exist_ok=True)
+    os.makedirs(ddir, exist_ok=True)
+
+    fx = fov2focal(fovx, W)
+    fy = fov2focal(fovy, H)
+    colmap.write_cameras_binary(
+        {1: colmap.Camera(1, "PINHOLE", W, H,
+                          np.array([fx, fy, W / 2, H / 2]))},
+        os.path.join(sparse0, "cameras.bin"))
+
+    images = {}
+    for i, cam in enumerate(cams):
+        img, depth, alpha = render(cam)
+        arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        PILImage.fromarray(arr).save(os.path.join(imdir, cam.image_name))
+        # mono-style prior: true depth where covered, median elsewhere
+        # (~DPT quality ceiling; saved for ALL views — only train views
+        # are read by the precomputed estimator)
+        cov = alpha > 0.3
+        med = np.median(depth[cov]) if cov.any() else 1.0
+        np.save(os.path.join(ddir, f"img_{i:03d}.npy"),
+                np.where(cov, depth, med).astype(np.float32))
+        qvec = colmap.rotmat2qvec(cam.R.T)
+        images[i + 1] = colmap.Image(i + 1, qvec, cam.T, 1, cam.image_name,
+                                     np.zeros((0, 2)),
+                                     np.zeros((0,), np.int64))
+        if (i + 1) % 8 == 0:
+            log(f"  rendered {i + 1}/{n_cams} views")
+    colmap.write_images_binary(images, os.path.join(sparse0, "images.bin"))
+
+    import jax.nn
+    true_cols = np.asarray(jax.nn.sigmoid(jnp.asarray(
+        cloud["features"][:, 0, :])))
+
+    # SfM-like sparse points (noisy subsample, used by non-dense arms)
+    sel = rng.choice(n_gauss, n_sparse, replace=False)
+    pts = {int(i): colmap.Point3D(
+               int(i), cloud["xyz"][s] + rng.normal(0, 0.02, 3),
+               (true_cols[s] * 255).astype(np.uint8), 0.5,
+               np.array([1], np.int32), np.array([0], np.int32))
+           for i, s in enumerate(sel)}
+    colmap.write_points3D_binary(pts, os.path.join(sparse0, "points3D.bin"))
+
+    # MVS-style dense fused.ply: true-color surface samples + mild noise
+    # (`FSGS/scene/dataset_readers.py:266`)
+    dsel = rng.choice(n_gauss, n_dense, replace=True)
+    dpts = cloud["xyz"][dsel] + rng.normal(0, 0.01, (n_dense, 3))
+    os.makedirs(os.path.join(root, "3_views/dense"), exist_ok=True)
+    store_point_cloud(os.path.join(root, "3_views/dense/fused.ply"),
+                      dpts, true_cols[dsel])
+    log(f"scene at {root}: {n_cams} cams, dense init {n_dense} pts")
+    return root
+
+
+ARMS = {
+    # name: (method, iters_key, extra train args)
+    "fsgs_dense": ("fsgs", "fsgs", ["--point_cloud_type", "dense",
+                                    "--depth_estimator", "precomputed"]),
+    "fsgs_sparse": ("fsgs", "fsgs", ["--point_cloud_type", "sparse",
+                                     "--depth_estimator", "precomputed"]),
+    "fsgs_nodepth": ("fsgs", "fsgs", ["--point_cloud_type", "dense",
+                                      "--depth_estimator", "none"]),
+    "fsgs_noprox": ("fsgs", "fsgs", ["--point_cloud_type", "dense",
+                                     "--depth_estimator", "precomputed",
+                                     "--proximity_until_iter", "0"]),
+    "dngaussian": ("dngaussian", "dng", ["--depth_estimator", "precomputed"]),
+    "3dgs": ("3dgs", "fsgs", ["--point_cloud_type", "sparse"]),
+}
+
+
+def run_arm(name, scene, out_root, iters_fsgs, iters_dng, size, python):
+    method, ikey, extra = ARMS[name]
+    iters = iters_fsgs if ikey == "fsgs" else iters_dng
+    model = os.path.join(out_root, name)
+    os.makedirs(model, exist_ok=True)
+    logf = os.path.join(model, "train.log")
+    # viewspace grads scale ~1/H: 0.0002 is the reference default at ~800px
+    grad = 0.0002 * 800.0 / size
+    its = list(range(1000, iters + 1, max(iters // 10, 1000))) or [iters]
+    if its[-1] != iters:
+        its.append(iters)
+    test_its = " ".join(str(t) for t in its)
+    steps = [
+        [python, "train.py", "-s", scene, "-m", model, "--method", method,
+         "--eval", "--n_views", "3", "--iterations", str(iters),
+         "--test_iterations", *test_its.split(),
+         "--save_iterations", str(iters),
+         "--densify_grad_threshold", str(grad),
+         "--disable_viewer"] + extra,
+        [python, "render.py", "-m", model, "--skip_train"],
+        [python, "metrics.py", "-m", model],
+    ]
+    t0 = time.time()
+    with open(logf, "w") as f:
+        for cmd in steps:
+            log(f"[{name}] {' '.join(cmd[:6])} ...")
+            rc = subprocess.call(cmd, cwd=REPO, stdout=f, stderr=f)
+            if rc != 0:
+                log(f"[{name}] FAILED rc={rc} (see {logf})")
+                return {"arm": name, "rc": rc,
+                        "duration_sec": time.time() - t0}
+    res = {}
+    rj = os.path.join(model, "results.json")
+    if os.path.exists(rj):
+        with open(rj) as f:
+            res = json.load(f)
+    return {"arm": name, "rc": 0, "duration_sec": time.time() - t0,
+            "results": res}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default="/tmp/fsgs_fewshot")
+    ap.add_argument("--size", type=int, default=400)
+    ap.add_argument("--iters_fsgs", type=int, default=10_000)
+    ap.add_argument("--iters_dng", type=int, default=6_000)
+    ap.add_argument("--arms", default=",".join(ARMS))
+    ap.add_argument("--skip_scene", action="store_true")
+    args = ap.parse_args()
+
+    scene = os.path.join(args.workdir, "scene")
+    out_root = os.path.join(args.workdir, "runs")
+    os.makedirs(out_root, exist_ok=True)
+    if not args.skip_scene:
+        build_llff_colmap_scene(scene, size=args.size)
+
+    rows = []
+    for name in args.arms.split(","):
+        rows.append(run_arm(name, scene, out_root, args.iters_fsgs,
+                            args.iters_dng, args.size, sys.executable))
+        with open(os.path.join(args.workdir, "summary.json"), "w") as f:
+            json.dump(rows, f, indent=1)
+        log(f"[{name}] done: {json.dumps(rows[-1])[:240]}")
+    log("ALL DONE")
+    for r in rows:
+        log(json.dumps(r))
+    return 0 if all(r["rc"] == 0 for r in rows) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
