@@ -149,6 +149,11 @@ def main(argv=None):
                         help="also write a depth-colormap spiral video "
                              "(DNGaussian spiral.py)")
     parser.add_argument("--fps", default=30, type=int)
+    parser.add_argument("--tile_parallel", default=0, type=int,
+                        help="shard image tile-rows across N devices "
+                             "(-1 = all available); Gaussians replicated, "
+                             "each device rasterises its own band "
+                             "(SURVEY §5.8 image-space decomposition)")
     args = get_combined_args(parser, argv)
     print("Rendering " + args.model_path)
     import os as _os
@@ -197,6 +202,27 @@ def main(argv=None):
         render_fn = _partial(render_neural, neural_params=neural_params,
                              neural_cfg=neural_cfg)
         print(f"Rendering with neural field: {neural_path}")
+
+    if getattr(args, "tile_parallel", 0):
+        import jax
+        n_req = args.tile_parallel
+        n_dev = len(jax.devices()) if n_req < 0 else min(n_req,
+                                                         len(jax.devices()))
+        if render_fn is not None:
+            print("tile_parallel: neural-field rendering active, "
+                  "falling back to single-device")
+        elif n_dev < 2:
+            print(f"tile_parallel: only {n_dev} device(s) available, "
+                  "rendering single-device")
+        else:
+            from sparse_view_3dgs_pack_tpu.parallel.dp import make_mesh
+            from sparse_view_3dgs_pack_tpu.parallel.tiles import \
+                make_tile_parallel_render_fn
+            mesh = make_mesh(n_dev)
+            render_fn = make_tile_parallel_render_fn(
+                mesh, cams[0].width, cams[0].height)
+            print(f"tile_parallel: band-sharded rendering over {n_dev} "
+                  "devices")
 
     if not args.skip_train and scene.getTrainCameras():
         render_set(dataset.model_path, "train", scene.loaded_iter,

@@ -27,17 +27,18 @@ from ..ops.rasterize_tiles import RasterConfig, rasterize_binned
 
 def render_tile_parallel(proj: Projected, width: int, height: int,
                          background, mesh: Mesh,
-                         config: RasterConfig, axis: str = "data"):
+                         config: RasterConfig, axis: str = "data",
+                         return_pairs: bool = False):
     """proj replicated → (H, W, C+3ish) image computed band-parallel.
 
-    Returns the same outputs as rasterize_binned. Requires height to cut into
-    `n_devices` bands of whole 16-px tile rows (pad the frame if not)."""
+    Returns the same outputs as rasterize_binned. A height whose tile rows
+    don't divide evenly across devices is padded with empty bands (cropped
+    from the output). With `return_pairs`, also returns the max per-band
+    pair count (each band's bucket is `config.max_pairs`; > that signals
+    overflow, same protocol as the single-device renderer)."""
     n_dev = mesh.devices.size
     grid_y = (height + TILE - 1) // TILE
-    assert grid_y % n_dev == 0, (
-        f"tile rows ({grid_y}) must divide evenly across {n_dev} devices; "
-        "pad the image")
-    band_rows = grid_y // n_dev
+    band_rows = -(-grid_y // n_dev)            # ceil: pad trailing bands
     band_h = band_rows * TILE
 
     def render_band(band_idx, proj):
@@ -54,18 +55,70 @@ def render_tile_parallel(proj: Projected, width: int, height: int,
                                 width, band_h, config.max_pairs, config.tile)
         out = rasterize_binned(local, binning, width, band_h,
                                jnp.asarray(background), config)
-        return out
+        return out, binning.total_pairs
 
     band_ids = jnp.arange(n_dev, dtype=jnp.int32)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis), None),
-             out_specs=P(axis), check_vma=False)
+             out_specs=(P(axis), P(axis)), check_vma=False)
     def sharded(band_ids, proj):
-        out = render_band(band_ids[0], proj)
-        return jax.tree.map(lambda a: a[None], out)
+        out, pairs = render_band(band_ids[0], proj)
+        return jax.tree.map(lambda a: a[None], out), pairs[None]
 
-    outs = sharded(band_ids, proj)
+    outs, pairs = sharded(band_ids, proj)
     # (n_dev, band_h, W, ...) → (H, W, ...)
-    return jax.tree.map(
+    image = jax.tree.map(
         lambda a: a.reshape((n_dev * a.shape[1],) + a.shape[2:])[:height],
         outs)
+    if return_pairs:
+        return image, jnp.max(pairs)
+    return image
+
+
+def make_tile_parallel_render_fn(mesh: Mesh, width: int, height: int,
+                                 axis: str = "data"):
+    """CLI-level band-parallel render (``render.py --tile_parallel``).
+
+    Returns a drop-in for ``renderer.render``: fn(state, camera, bg_color,
+    sh_degree_active=, antialiasing=, config=) → RenderResult. The Gaussian
+    set is replicated; each device projects + bins + rasterises its own
+    horizontal band of tile rows (SURVEY §5.8 image-space decomposition)."""
+    from ..renderer import (RenderResult, default_raster_config)
+    from ..ops.projection import project_gaussians
+
+    @partial(jax.jit, static_argnames=("sh_degree_active", "antialiasing",
+                                       "config"))
+    def _jit(params, alive, cam, bg_color, sh_degree_active, antialiasing,
+             config):
+        xyz = params["xyz"]
+        opacity = jax.nn.sigmoid(params["opacity"][:, 0]) * alive
+        sh = jnp.concatenate([params["features_dc"],
+                              params["features_rest"]], axis=1)
+        proj = project_gaussians(
+            means3d=xyz, scales=jnp.exp(params["scaling"]),
+            quats=params["rotation"], opacities=opacity,
+            viewmat=cam.viewmat, full_proj=cam.full_proj,
+            cam_center=cam.cam_center,
+            tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+            width=width, height=height, sh=sh,
+            sh_degree=sh_degree_active, antialiasing=antialiasing)
+        out, n_pairs = render_tile_parallel(proj, width, height, bg_color,
+                                            mesh, config, axis=axis,
+                                            return_pairs=True)
+        return RenderResult(
+            render=jnp.clip(out.color, 0.0, 1.0),
+            viewspace_points=jnp.zeros((xyz.shape[0], 2), xyz.dtype),
+            radii=proj.radii, depth=out.invdepth, alpha=out.alpha,
+            expected_depth=out.depth, n_pairs=n_pairs)
+
+    def fn(state, camera, bg_color, sh_degree_active=None,
+           antialiasing=False, config=None, **_ignored):
+        if config is None:
+            config = default_raster_config(state.capacity, width, height)
+        if sh_degree_active is None:
+            sh_degree_active = state.max_sh_degree
+        return _jit(state.params, state.alive.astype(jnp.float32),
+                    camera.params(), jnp.asarray(bg_color, jnp.float32),
+                    sh_degree_active, antialiasing, config)
+
+    return fn

@@ -51,6 +51,38 @@ def test_tile_parallel_matches_single_device():
                                np.asarray(ref.alpha), atol=2e-5)
 
 
+def test_tile_parallel_cli_render_fn_bit_equal():
+    """The render.py --tile_parallel path (make_tile_parallel_render_fn)
+    must match the single-device renderer bit-for-bit — including a height
+    whose tile rows do NOT divide evenly across devices (112 px = 7 tile
+    rows on 8 devices → padded trailing band)."""
+    from sparse_view_3dgs_pack_tpu.models import gaussians as gm
+    from sparse_view_3dgs_pack_tpu.parallel.dp import make_mesh
+    from sparse_view_3dgs_pack_tpu.parallel.tiles import \
+        make_tile_parallel_render_fn
+    from sparse_view_3dgs_pack_tpu.renderer import render
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    w, h = 64, 112
+    rng = np.random.default_rng(1)
+    state = gm.create_from_pcd(
+        rng.uniform(-1, 1, (150, 3)).astype(np.float32),
+        rng.random((150, 3)).astype(np.float32),
+        n_images=1, sh_degree=1, capacity=256)
+    cam = testing.make_orbit_cameras(1, radius=3.5, width=w, height_px=h)[0]
+    bg = jnp.array([0.2, 0.1, 0.4])
+
+    tp_fn = make_tile_parallel_render_fn(make_mesh(8), w, h)
+    tp = tp_fn(state, cam, bg)
+    ref = render(state, cam, bg, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(tp.render),
+                                  np.asarray(ref.render))
+    np.testing.assert_array_equal(np.asarray(tp.alpha),
+                                  np.asarray(ref.alpha))
+    assert int(tp.n_pairs) > 0
+
+
 def test_dp_step_runs_on_mesh():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
