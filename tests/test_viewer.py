@@ -83,3 +83,84 @@ def test_network_gui_roundtrip():
     network_gui.listener.close()
     network_gui.listener = None
     network_gui.conn = None
+
+
+def test_bridge_matches_reference_transcript():
+    """Replay the recorded REFERENCE network_gui session (byte stream
+    captured from the reference's own code running under CPU torch —
+    `scripts/record_sibr_transcript.py`) against the TPU bridge: every
+    reply byte must match, and the converted camera matrices must equal
+    what the reference handed its MiniCam (transposed into our math
+    convention)."""
+    import os
+
+    fix_path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "sibr_transcript.json")
+    with open(fix_path) as f:
+        fix = json.load(f)
+    msgs = [bytes.fromhex(h) for h in fix["client_messages_hex"]]
+    expected_reply = bytes.fromhex(fix["server_reply_hex"])
+
+    port = PORT + 100
+    network_gui.init("127.0.0.1", port)
+    assert network_gui.listener is not None
+
+    cams = []
+
+    def render_fn(cam, scaling_modifier):
+        cams.append((cam, scaling_modifier))
+        # same deterministic pattern the recorder rendered (HWC here)
+        x = np.arange(cam.width)[None, :, None]
+        y = np.arange(cam.height)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        k = (x * 7 + y * 13 + c * 29) % 255
+        return ((k + 0.5) / 255.0).astype(np.float32)
+
+    reply_chunks = []
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        for m in msgs:
+            s.sendall(m)
+        s.shutdown(socket.SHUT_WR)
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            reply_chunks.append(chunk)
+        s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    import time
+    deadline = time.time() + 30
+    while len(cams) < 3 and time.time() < deadline:
+        network_gui.serve_once(render_fn, fix["verify"])
+        time.sleep(0.005)
+    if network_gui.conn is not None:
+        network_gui.conn.close()
+    t.join(timeout=10)
+    assert not t.is_alive()
+
+    got = b"".join(reply_chunks)
+    assert got == expected_reply, (
+        f"reply stream diverges from the reference transcript: "
+        f"{len(got)} vs {len(expected_reply)} bytes, first diff at "
+        f"{next((i for i, (a, b) in enumerate(zip(got, expected_reply)) if a != b), -1)}")
+
+    # camera conversion parity: reference stores transposed row-vector
+    # matrices; ours are math convention -> equal after .T
+    assert len(cams) == len(fix["minicams"])
+    for (cam, scale), ref in zip(cams, fix["minicams"]):
+        assert cam.width == ref["width"] and cam.height == ref["height"]
+        np.testing.assert_allclose(
+            cam.world_view_transform,
+            np.array(ref["world_view_transform"],
+                     np.float32).reshape(4, 4).T, atol=1e-6)
+        np.testing.assert_allclose(
+            cam.full_proj_transform,
+            np.array(ref["full_proj_transform"],
+                     np.float32).reshape(4, 4).T, atol=1e-6)
+    network_gui.listener.close()
+    network_gui.listener = None
+    network_gui.conn = None
