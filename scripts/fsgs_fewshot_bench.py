@@ -247,13 +247,26 @@ def main():
     ap.add_argument("--iters_dng", type=int, default=6_000)
     ap.add_argument("--arms", default=",".join(ARMS))
     ap.add_argument("--skip_scene", action="store_true")
+    ap.add_argument("--build_scene_only", action="store_true",
+                    help="internal: build the fixture scene and exit")
     args = ap.parse_args()
 
     scene = os.path.join(args.workdir, "scene")
     out_root = os.path.join(args.workdir, "runs")
     os.makedirs(out_root, exist_ok=True)
-    if not args.skip_scene:
+    if args.build_scene_only:
         build_llff_colmap_scene(scene, size=args.size)
+        return 0
+    if not args.skip_scene:
+        # build in a SUBPROCESS: the scene render grabs the (exclusive)
+        # TPU client, and holding it in this parent would deadlock every
+        # child train.py waiting on the device
+        rc = subprocess.call([sys.executable, os.path.abspath(__file__),
+                              args.workdir, "--size", str(args.size),
+                              "--build_scene_only"])
+        if rc != 0:
+            log(f"scene build failed rc={rc}")
+            return rc
 
     rows = []
     for name in args.arms.split(","):

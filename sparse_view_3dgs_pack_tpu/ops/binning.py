@@ -96,6 +96,45 @@ def _expand_by_offsets(col, offsets, max_pairs: int):
     return jnp.cumsum(buf)
 
 
+def tile_range_bounds(sorted_key, num_tiles: int, depth_bits: int,
+                      block: int = CHUNK):
+    """bounds[t] = #{sorted_key < t << depth_bits} for t in 0..num_tiles,
+    i.e. the tile range boundaries (starts = bounds[:-1]).
+
+    Replaces a (num_tiles+1)-probe `searchsorted` over the full pair bucket
+    — which lowers to ~log2(max_pairs) SERIALIZED element gathers per probe
+    (1.8 ms at the 1080p bench config) — with an exact two-level count:
+
+    1. Split the sorted keys into `block`-sized rows. Because the keys are
+       globally sorted, every row before the first row whose LAST key
+       reaches the probe is entirely below it. A (num_tiles)-bin histogram
+       of the rows' last-key tiles + cumsum counts those full rows per
+       probe in two streaming passes over just max_pairs/block elements.
+    2. One (num_tiles+1, block) row gather pulls each probe's straddling
+       row; an elementwise compare+reduce counts the in-row remainder.
+
+    Both levels are vector work (~0.15 ms at the bench config). `block`
+    must divide the bucket; CHUNK=128 alignment is already guaranteed.
+    """
+    mp = sorted_key.shape[0]
+    assert mp % block == 0, "pair bucket must be block-aligned"
+    nrows = mp // block
+    keys2d = sorted_key.reshape(nrows, block)
+    # tile of each row's last (max) key; tail sentinels carry tile=num_tiles
+    row_last_tile = (keys2d[:, -1] >> depth_bits).astype(jnp.int32)
+    # rows entirely below probe t: row_last < t<<db  ⟺  tile(row_last) < t
+    hist = jnp.zeros((num_tiles + 1,), jnp.int32).at[row_last_tile].add(
+        1, mode="drop")
+    rows_full = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist[:num_tiles])])
+    idx = jnp.minimum(rows_full, nrows - 1)             # straddling row
+    straddle = keys2d[idx]                              # (T+1, block) gather
+    # depth_bits ≤ 22 and tile ids ≤ num_tiles, so t << depth_bits fits u32
+    probes = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << depth_bits
+    in_row = jnp.sum((straddle < probes[:, None]).astype(jnp.int32), axis=1)
+    return idx * block + in_row
+
+
 @partial(jax.jit, static_argnames=("width", "height", "max_pairs", "tile",
                                    "tile_y"))
 def bin_gaussians(means2d, depths, radii, width: int, height: int,
@@ -172,9 +211,7 @@ def bin_gaussians(means2d, depths, radii, width: int, height: int,
     sorted_key, sorted_ids = jax.lax.sort((key, gauss_ids), num_keys=1,
                                           is_stable=True)
 
-    probes = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << depth_bits)
-    bounds = jnp.searchsorted(sorted_key, probes, side="left",
-                              method="scan_unrolled").astype(jnp.int32)
+    bounds = tile_range_bounds(sorted_key, num_tiles, depth_bits)
     starts = bounds[:-1]
     counts = bounds[1:] - starts
     return Binning(ids=sorted_ids, tile_starts=starts,

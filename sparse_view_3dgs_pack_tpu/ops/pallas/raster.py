@@ -107,6 +107,41 @@ def pack_fields(means2d, depths, conics, colors, opacities,
 UNIT = 2  # chunks per DMA unit (consecutive chunk blocks are contiguous)
 
 
+def _bf16_parts(x, n):
+    parts = []
+    r = x
+    for _ in range(n):
+        p = r.astype(jnp.bfloat16)
+        parts.append(p)
+        r = r - p.astype(jnp.float32)
+    return parts
+
+
+def split_dot(a, b, dims, a_parts: int = 2, b_parts: int = 1):
+    """f32 dot_general via hand-split bf16 passes (f32 MXU accumulation).
+
+    Mosaic supports only DEFAULT (1 bf16 pass) and HIGHEST (6 passes) dot
+    precisions; this builds the missing middle tiers. Splitting an operand
+    into n bf16 parts leaves ~2^(-9n) relative operand error, so:
+      a_parts=2, b_parts=1 — 2 passes; exact-side b (0/1 triangular masks
+        are bf16-representable), ~2^-18 operand error;
+      a_parts=3, b_parts=1 — 3 passes, ~2^-27 (≈ HIGHEST when b is exact);
+      a_parts=2, b_parts=2 — 3 passes (lo·lo cross term dropped at ~2^-36),
+        the classic 3-pass HIGH that Mosaic lacks.
+    """
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=dims,
+                            preferred_element_type=jnp.float32)
+    out = None
+    for i, ai in enumerate(_bf16_parts(a, a_parts)):
+        for j, bj in enumerate(_bf16_parts(b, b_parts)):
+            if i + j > max(a_parts, b_parts) - 1:
+                continue  # below the target precision
+            term = dot(ai, bj)
+            out = term if out is None else out + term
+    return out
+
+
 def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
                 mm_precision, compute_n_contrib, tile_x, tile_y,
                 # scalar prefetch
@@ -196,31 +231,44 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
         log_t = misc_ref[:, 0:1]
         mx = d[0:1, :] - txf                            # tile-local means
         my = d[1:2, :] - tyf
-        ca = d[2:3, :]
-        cb = d[3:4, :]
-        cc = d[4:5, :]
-        op = d[5:6, :]
+        # Per-pair constants fold on (1, CHUNK) rows — ~pix× cheaper than
+        # the (pix, CHUNK) math below: -0.5 / negation move into the conic
+        # rows, and the valid-lane mask zeroes the opacity row instead of
+        # joining the (pix, CHUNK) where-chain (padding lanes then blend
+        # with alpha == 0 exactly, and log1p(0) == 0 keeps them out of the
+        # transmittance).
+        ca = -0.5 * d[2:3, :]
+        cb = -d[3:4, :]
+        cc = -0.5 * d[4:5, :]
+        pos = lane + k * CHUNK                          # chunk-relative
+        valid = (pos >= head) & (pos < head + count)
+        op = jnp.where(valid, d[5:6, :], 0.0)
 
         # The quadratic form stays ELEMENTWISE: an Fpix @ Wq MXU form needs
         # HIGHEST precision (the expanded a·mx² constant suffers bf16
         # catastrophic cancellation for small gaussians — 26 dB of image
-        # error at DEFAULT) and at 6-pass HIGHEST it is slower than these 9
+        # error at DEFAULT) and at 6-pass HIGHEST it is slower than these 8
         # VPU ops. The backward uses the matmul form (it needs Fpix anyway).
         dx = px - mx                                    # (pix, CHUNK)
         dy = py - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        power = (ca * dx) * dx + ((cc * dy) + (cb * dx)) * dy
         G = jnp.exp(jnp.minimum(power, 0.0))
         alpha = jnp.minimum(ALPHA_MAX, op * G)
-        pos = lane + k * CHUNK                          # chunk-relative
-        valid = (pos >= head) & (pos < head + count)
-        alpha = jnp.where((power > 0.0) | (alpha < ALPHA_EPS) | ~valid,
-                          0.0, alpha)
+        alpha = jnp.where((power > 0.0) | (alpha < ALPHA_EPS), 0.0, alpha)
 
         log1m = jnp.log1p(-alpha)
-        s_incl = log_t + jax.lax.dot_general(
-            log1m, triu_ones, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mm_precision)                      # (pix, CHUNK)
+        cum_dims = (((1,), (0,)), ((), ()))
+        if mm_precision == "split":
+            # triu_ones is exactly bf16-representable, so a 3-way split of
+            # log1m gives ~2^-27 operand error (≈ HIGHEST) in 3 MXU passes
+            # instead of 6
+            s_cum = split_dot(log1m, triu_ones, cum_dims, a_parts=3)
+        else:
+            s_cum = jax.lax.dot_general(
+                log1m, triu_ones, cum_dims,
+                preferred_element_type=jnp.float32,
+                precision=mm_precision)
+        s_incl = log_t + s_cum                           # (pix, CHUNK)
         s_excl = s_incl - log1m
         if compute_n_contrib:
             # CUDA's T<1e-4 stop is PERMANENT: contribution must be a prefix
@@ -241,10 +289,15 @@ def _fwd_kernel(num_tiles, grid_x, max_chunks, n_payload, early_exit,
             w = alpha * jnp.exp(s_excl)
 
         payload = d[6:14, :]                            # (8, CHUNK)
+        # the blend contraction keeps HIGHEST under "split": its payload
+        # rows carry raw depths, whose 3-pass error (~depth·2^-18) would be
+        # at the golden tests' tolerance
+        accum_prec = (jax.lax.Precision.HIGHEST if mm_precision == "split"
+                      else mm_precision)
         accum_ref[...] += jax.lax.dot_general(
             w, payload, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=mm_precision)                      # (pix, 8)
+            precision=accum_prec)                        # (pix, 8)
         if compute_n_contrib:   # only the backward replay needs it
             misc_ref[:, 2:3] += jnp.sum(
                 contribute.astype(jnp.float32), axis=1, keepdims=True)

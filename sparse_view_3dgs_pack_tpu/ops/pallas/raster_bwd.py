@@ -42,9 +42,25 @@ from jax.experimental.pallas import tpu as pltpu
 from ..binning import Binning, tile_grid
 from .raster import (ALPHA_EPS, ALPHA_MAX, CHUNK, DROWS, LOG_T_EPS,
                      TILE, pack_pair_data, rasterize_forward_pallas,
-                     tile_pixel_coords, unpack_tiles)
+                     split_dot, tile_pixel_coords, unpack_tiles)
 
 GROWS = 16  # grad rows: mx,my,a,b,c,op,payload(8),pad,pad
+
+# bisect scaffolding: which split_dot sites are active (comma list of
+# rincl,gc,suffix,dpayload; "none"/"all" also accepted)
+import os as _os  # noqa: E402
+_sites_env = _os.environ.get("RASTER_BWD_SPLIT", "all")
+_SPLIT_SITES = (frozenset() if _sites_env == "none" else
+                frozenset(("rincl", "gc", "suffix", "dpayload"))
+                if _sites_env == "all" else frozenset(_sites_env.split(",")))
+
+
+def _maybe_split(site, a, b, dims, a_parts, b_parts=1):
+    if site in _SPLIT_SITES:
+        return split_dot(a, b, dims, a_parts=a_parts, b_parts=b_parts)
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _bwd_kernel(num_tiles, grid_x, max_chunks, tile_x, tile_y, pix,
@@ -183,23 +199,22 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks, tile_x, tile_y, pix,
         alpha = jnp.where(contrib, alpha, 0.0)
         log1m = jnp.log1p(-alpha)
 
-        # reverse cumsums along lanes via MXU
-        r_incl = jax.lax.dot_general(log1m, tril_incl,
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        # reverse cumsums along lanes via MXU. Hand-split bf16 passes
+        # (split_dot) replace 6-pass HIGHEST where the numerics allow:
+        # the 0/1 triangular masks are exact in bf16, so 2-way splits of
+        # the data operand leave ~2^-18 relative error — far inside the
+        # gradient tolerance; only `power` (expanded-quadratic
+        # cancellation) and the R moment reduction (tile-coordinate
+        # cancellation in s_qdx2) keep HIGHEST.
+        cum_dims = (((1,), (0,)), ((), ()))
+        r_incl = _maybe_split("rincl", log1m, tril_incl, cum_dims, a_parts=2)
         T = jnp.exp(log_tf - r_incl - c_log)            # (256, CHUNK)
         w = alpha * T
 
-        gc = jax.lax.dot_general(g, payload, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        gc = _maybe_split("gc", g, payload, cum_dims, a_parts=2, b_parts=2)
         wgc = w * gc                                     # (256, CHUNK)
-        suffix = jax.lax.dot_general(wgc, tril_excl,
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST) \
-            + s_carry
+        suffix = _maybe_split("suffix", wgc, tril_excl, cum_dims,
+                              a_parts=2) + s_carry
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         dalpha = jnp.where(contrib, T * gc - (suffix + B) / one_m, 0.0)
 
@@ -226,9 +241,8 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks, tile_x, tile_y, pix,
         d_b = -s_qdxdy
         d_c = -0.5 * s_qdy2
         d_opacity = jnp.sum(d_op, axis=0, keepdims=True)  # (1, CHUNK)
-        d_payload = jax.lax.dot_general(g, w, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        d_payload = _maybe_split("dpayload", g, w, (((0,), (0,)), ((), ())),
+                                 a_parts=2, b_parts=2)
 
         gout = jnp.concatenate([
             d_mx, d_my, d_a, d_b, d_c, d_opacity, d_payload,

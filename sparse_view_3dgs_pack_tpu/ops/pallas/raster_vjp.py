@@ -58,8 +58,11 @@ def make_pallas_rasterizer(width: int, height: int, channels: int,
         pd = pack_fields(means2d, depths, conics, colors, opacities, ids)
         raw = rasterize_forward_pallas(
             pd, starts, counts, bg, width, height, ids.shape[0], C + 2,
+            # training: "split" = 3-pass hand-split transmittance cumsum
+            # (~HIGHEST accuracy at half the MXU passes, see
+            # raster.split_dot) + HIGHEST blend contraction
             mm_precision=(jax.lax.Precision.DEFAULT if inference
-                          else jax.lax.Precision.HIGHEST),
+                          else "split"),
             compute_n_contrib=not inference,
             tile_x=tile_x, tile_y=tile_y)
         u = unpack_tiles(raw, width, height, C, tile_x, tile_y)

@@ -288,3 +288,36 @@ def test_mark_visible_frustum():
     pv = pts @ viewmat[:3, :3].T + viewmat[:3, 3]
     np.testing.assert_array_equal(vis, pv[:, 2] > 0.2)
     assert vis[0] and not vis[1]
+
+
+def test_tile_range_bounds_matches_searchsorted():
+    """The two-level tile-range counter must equal `searchsorted` exactly
+    for every probe, across edge cases: empty tiles, empty buckets,
+    all-sentinel tails, single-tile pileups, full buckets."""
+    num_tiles, depth_bits, block = 23, 12, 128
+    sentinel = np.uint32(num_tiles) << depth_bits
+    rng = np.random.default_rng(0)
+
+    def check(keys_np):
+        keys = jnp.asarray(keys_np)
+        got = np.asarray(binning_mod.tile_range_bounds(
+            keys, num_tiles, depth_bits, block))
+        probes = (np.arange(num_tiles + 1, dtype=np.uint64) << depth_bits)
+        want = np.searchsorted(keys_np.astype(np.uint64), probes, "left")
+        np.testing.assert_array_equal(got, want)
+
+    mp = 8 * block
+    # random occupancy with empty tiles and a sentinel tail
+    for frac in (0.0, 0.33, 0.97, 1.0):
+        n = int(mp * frac)
+        tiles = rng.integers(0, num_tiles, n, dtype=np.uint32)
+        tiles[tiles % 5 == 2] = 7          # force some empty / piled tiles
+        d = rng.integers(0, 1 << depth_bits, n, dtype=np.uint32)
+        keys = np.full(mp, sentinel, np.uint32)
+        keys[:n] = np.sort((tiles << depth_bits) | d)
+        check(keys)
+    # everything in one tile; boundary-exact depths (0 and max)
+    keys = np.sort(rng.integers(0, 2, mp, dtype=np.uint32)
+                   * ((1 << depth_bits) - 1)
+                   + (np.uint32(11) << depth_bits)).astype(np.uint32)
+    check(keys)
