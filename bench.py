@@ -198,6 +198,12 @@ PHASES = {"render": lambda: bench_render(), "train": lambda: bench_train(),
 
 def _run_phase_child(phase):
     """Child mode: run one bench phase and print {"value": N} on success."""
+    # persistent XLA cache: TPU compiles in this environment run 30-300+ s
+    # per program; a warm cache (pre-seeded by any earlier run of the same
+    # code) turns every retry/re-run into seconds. No-op on CPU.
+    from sparse_view_3dgs_pack_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
     value = PHASES[phase]()
     print(json.dumps({"value": value, "device": _device_name()}))
 
@@ -301,7 +307,7 @@ def main():
     # hours before the driver sees any JSON. Probe first with a short
     # budget and fail out in minutes instead. (Observed: the axon relay's
     # claim leg hung for 3+ hours straight; nothing recovers it in-process.)
-    if _run_phase("probe", attempts=2, timeout=240) is None:
+    if _run_phase("probe", attempts=2, timeout=480) is None:
         sys.stderr.write("[bench] backend unreachable (probe failed twice); "
                          "emitting null result\n")
         render_fps = train_its = None

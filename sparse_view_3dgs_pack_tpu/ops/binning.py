@@ -113,11 +113,17 @@ def tile_range_bounds(sorted_key, num_tiles: int, depth_bits: int,
     2. One (num_tiles+1, block) row gather pulls each probe's straddling
        row; an elementwise compare+reduce counts the in-row remainder.
 
-    Both levels are vector work (~0.15 ms at the bench config). `block`
-    must divide the bucket; CHUNK=128 alignment is already guaranteed.
+    Both levels are vector work (~0.15 ms at the bench config). Unaligned
+    buckets are padded up to a `block` multiple with 0xFFFFFFFF sentinels —
+    every probe is at most (num_tiles << depth_bits) < 2^32, so sentinel
+    lanes are never counted and the bounds stay exact.
     """
     mp = sorted_key.shape[0]
-    assert mp % block == 0, "pair bucket must be block-aligned"
+    if mp % block:
+        pad = block - mp % block
+        sorted_key = jnp.pad(sorted_key, (0, pad),
+                             constant_values=jnp.uint32(0xFFFFFFFF))
+        mp += pad
     nrows = mp // block
     keys2d = sorted_key.reshape(nrows, block)
     # tile of each row's last (max) key; tail sentinels carry tile=num_tiles

@@ -121,13 +121,19 @@ def split_dot(a, b, dims, a_parts: int = 2, b_parts: int = 1):
     """f32 dot_general via hand-split bf16 passes (f32 MXU accumulation).
 
     Mosaic supports only DEFAULT (1 bf16 pass) and HIGHEST (6 passes) dot
-    precisions; this builds the missing middle tiers. Splitting an operand
-    into n bf16 parts leaves ~2^(-9n) relative operand error, so:
+    precisions; this builds the missing middle tiers. bf16 carries 8
+    significand bits, so each extracted part reduces the residual by ~2^-8:
+    after n parts the un-represented remainder is ~2^(-8n) of the operand.
       a_parts=2, b_parts=1 — 2 passes; exact-side b (0/1 triangular masks
-        are bf16-representable), ~2^-18 operand error;
-      a_parts=3, b_parts=1 — 3 passes, ~2^-27 (≈ HIGHEST when b is exact);
-      a_parts=2, b_parts=2 — 3 passes (lo·lo cross term dropped at ~2^-36),
-        the classic 3-pass HIGH that Mosaic lacks.
+        are bf16-representable), ~2^-16 relative operand error;
+      a_parts=3, b_parts=1 — 3 passes, ~2^-24 (≈ f32 rounding, i.e.
+        ≈ HIGHEST accuracy, when b is exact);
+      a_parts=2, b_parts=2 — 3 passes, ~2^-16: BOTH 2-part residuals and
+        the dropped lo·lo cross term land at 2^-16 (measured 1.5e-5 of
+        operand scale vs 1.7e-7 for true f32) — a middle tier, NOT a
+        HIGHEST substitute. Contractions of raw-scale data (e.g. depth
+        payload rows) that need f32-class accuracy must use HIGHEST or an
+        exact-side split instead.
     """
     dot = functools.partial(jax.lax.dot_general,
                             dimension_numbers=dims,

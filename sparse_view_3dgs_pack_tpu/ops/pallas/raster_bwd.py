@@ -46,13 +46,30 @@ from .raster import (ALPHA_EPS, ALPHA_MAX, CHUNK, DROWS, LOG_T_EPS,
 
 GROWS = 16  # grad rows: mx,my,a,b,c,op,payload(8),pad,pad
 
-# bisect scaffolding: which split_dot sites are active (comma list of
-# rincl,gc,suffix,dpayload; "none"/"all" also accepted)
+# Which split_dot sites are active (comma list of rincl,suffix; "none"/
+# "all" also accepted). Unknown names are an error, not a silent fallback,
+# and any non-default value is logged once: gradients must never be
+# silently environment-dependent. (gc/dpayload are HIGHEST unconditionally
+# — raw-depth contractions, see chunk_core.)
 import os as _os  # noqa: E402
+_KNOWN_SITES = frozenset(("rincl", "suffix"))
 _sites_env = _os.environ.get("RASTER_BWD_SPLIT", "all")
-_SPLIT_SITES = (frozenset() if _sites_env == "none" else
-                frozenset(("rincl", "gc", "suffix", "dpayload"))
-                if _sites_env == "all" else frozenset(_sites_env.split(",")))
+if _sites_env == "none":
+    _SPLIT_SITES = frozenset()
+elif _sites_env == "all":
+    _SPLIT_SITES = _KNOWN_SITES
+else:
+    _SPLIT_SITES = frozenset(s for s in _sites_env.split(",") if s)
+    _bad = _SPLIT_SITES - _KNOWN_SITES
+    if _bad:
+        raise ValueError(
+            f"RASTER_BWD_SPLIT names unknown site(s) {sorted(_bad)}; "
+            f"known: {sorted(_KNOWN_SITES)} (or 'all'/'none')")
+if _sites_env != "all":
+    import sys as _sys
+    print(f"[raster_bwd] non-default RASTER_BWD_SPLIT={_sites_env!r}: "
+          f"split-precision sites limited to {sorted(_SPLIT_SITES)}",
+          file=_sys.stderr)
 
 
 def _maybe_split(site, a, b, dims, a_parts, b_parts=1):
@@ -200,18 +217,26 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks, tile_x, tile_y, pix,
         log1m = jnp.log1p(-alpha)
 
         # reverse cumsums along lanes via MXU. Hand-split bf16 passes
-        # (split_dot) replace 6-pass HIGHEST where the numerics allow:
-        # the 0/1 triangular masks are exact in bf16, so 2-way splits of
-        # the data operand leave ~2^-18 relative error — far inside the
-        # gradient tolerance; only `power` (expanded-quadratic
+        # (split_dot) replace 6-pass HIGHEST where one operand is an exact
+        # 0/1 triangular mask: a 3-part split of the data operand leaves
+        # ~2^-24 (f32-class) error in 3 passes, a 2-part split ~2^-16 in 2.
+        # `rincl` feeds exp() (relative T error ≈ |r_incl| · operand error,
+        # |r_incl| up to ~9.2) so it gets 3 parts; `suffix` errors enter
+        # dalpha relatively and 2 parts (~2^-16) is inside gradient
+        # tolerance. Data×data contractions (`gc`, `d_payload`: the payload
+        # rows carry raw depth/invdepth) stay at HIGHEST — a 2×2 split is
+        # only ~2^-16 (see raster.split_dot) which exceeds the forward's
+        # own ~2^-18 depth budget. `power` (expanded-quadratic
         # cancellation) and the R moment reduction (tile-coordinate
-        # cancellation in s_qdx2) keep HIGHEST.
+        # cancellation in s_qdx2) keep HIGHEST as well.
         cum_dims = (((1,), (0,)), ((), ()))
-        r_incl = _maybe_split("rincl", log1m, tril_incl, cum_dims, a_parts=2)
+        r_incl = _maybe_split("rincl", log1m, tril_incl, cum_dims, a_parts=3)
         T = jnp.exp(log_tf - r_incl - c_log)            # (256, CHUNK)
         w = alpha * T
 
-        gc = _maybe_split("gc", g, payload, cum_dims, a_parts=2, b_parts=2)
+        gc = jax.lax.dot_general(g, payload, cum_dims,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
         wgc = w * gc                                     # (256, CHUNK)
         suffix = _maybe_split("suffix", wgc, tril_excl, cum_dims,
                               a_parts=2) + s_carry
@@ -241,8 +266,9 @@ def _bwd_kernel(num_tiles, grid_x, max_chunks, tile_x, tile_y, pix,
         d_b = -s_qdxdy
         d_c = -0.5 * s_qdy2
         d_opacity = jnp.sum(d_op, axis=0, keepdims=True)  # (1, CHUNK)
-        d_payload = _maybe_split("dpayload", g, w, (((0,), (0,)), ((), ())),
-                                 a_parts=2, b_parts=2)
+        d_payload = jax.lax.dot_general(g, w, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.HIGHEST)
 
         gout = jnp.concatenate([
             d_mx, d_my, d_a, d_b, d_c, d_opacity, d_payload,

@@ -321,3 +321,13 @@ def test_tile_range_bounds_matches_searchsorted():
                    * ((1 << depth_bits) - 1)
                    + (np.uint32(11) << depth_bits)).astype(np.uint32)
     check(keys)
+    # UNALIGNED buckets (not a multiple of block): the internal sentinel
+    # pad must keep every bound exact — external callers with arbitrary
+    # bucket sizes used to work via searchsorted and must keep working
+    for mp_odd in (block - 1, 3 * block + 17, 5):
+        n = min(mp_odd, 2 * block)
+        tiles = rng.integers(0, num_tiles, n, dtype=np.uint32)
+        d = rng.integers(0, 1 << depth_bits, n, dtype=np.uint32)
+        keys = np.full(mp_odd, sentinel, np.uint32)
+        keys[:n] = np.sort((tiles << depth_bits) | d)
+        check(keys)
