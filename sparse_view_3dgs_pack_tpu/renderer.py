@@ -128,7 +128,13 @@ def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
         from .ops.rasterize_ref import RenderOutputs
         out = RenderOutputs(color=color, alpha=alpha, invdepth=invdepth,
                             depth=depth)
-        binning = ba
+        # n_pairs == max_pairs+1 is reserved for the XLA path's per-tile
+        # clip sentinel; a true pallas demand of exactly that value must
+        # not trigger the host's max_per_tile response (it would never
+        # grow the bucket) — nudge to +2
+        binning = ba._replace(total_pairs=jnp.where(
+            ba.total_pairs == config.max_pairs + 1,
+            ba.total_pairs + 1, ba.total_pairs))
     else:
         binning = bin_gaussians(
             jax.lax.stop_gradient(proj.means2d),
@@ -138,14 +144,25 @@ def render_core(params: dict, alive, exposure_mat, cam: CameraParams,
                                jnp.asarray(bg_color), config)
         # The XLA path clamps each tile's list to max_per_tile; a clipped
         # tile silently drops its back-most Gaussians. Surface it through
-        # the existing pair-overflow protocol (report > max_pairs → host
-        # grows the bucket, and max_per_tile scales with it).
+        # the pair-overflow protocol with a distinguishable encoding:
+        #   n_pairs == max_pairs + 1 EXACTLY → per-tile clip with room in
+        #     the bucket (host response: double max_per_tile, keep bucket);
+        #   n_pairs >  max_pairs otherwise → true bucket overflow (host
+        #     grows max_pairs).
+        # Without the distinction the host doubles the wrong knob forever:
+        # a dense few-shot scene at 128px holds >8k pairs in its central
+        # tiles, and growing the bucket never unclips them (observed: the
+        # bucket ran to the 8M hard cap on a 67k-pair frame).
         clipped = jnp.max(binning.tile_counts) > config.max_per_tile
+        total = binning.total_pairs
+        # a TRUE demand of exactly max_pairs+1 must not read as the clip
+        # sentinel: nudge it to +2 (overstates bucket demand by one pair)
+        total = jnp.where(jnp.logical_not(clipped)
+                          & (total == config.max_pairs + 1),
+                          total + 1, total)
         binning = binning._replace(total_pairs=jnp.where(
-            clipped,
-            jnp.maximum(binning.total_pairs,
-                        jnp.int32(config.max_pairs + 1)),
-            binning.total_pairs))
+            clipped & (total <= config.max_pairs),
+            jnp.int32(config.max_pairs + 1), total))
 
     image = out.color
     if use_trained_exp:
@@ -267,6 +284,12 @@ def default_raster_config(capacity: int, width: int, height: int,
         max_pairs = max(1 << 17, _next_pow2(capacity * 4))
     if max_per_tile <= 0:
         max_per_tile = min(4096, max(256, _next_pow2(max_pairs // max(num_tiles // 8, 1))))
+    # the XLA path materializes (tile_batch, 256, max_per_tile) blend
+    # buffers; when the per-tile list grows past the default ceiling (host
+    # response to the tile-clip sentinel), shrink the batch to bound peak
+    # memory at ~32M elements per buffer
+    if max_per_tile > 4096:
+        tile_batch = min(tile_batch, max(1, (1 << 25) // (256 * max_per_tile)))
     tile_batch = max(1, min(tile_batch, num_tiles))
     return RasterConfig(max_pairs=max_pairs, max_per_tile=max_per_tile,
                         tile_batch=tile_batch)

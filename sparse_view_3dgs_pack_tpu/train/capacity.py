@@ -105,6 +105,23 @@ class LaggedScalar:
         return None if prev is None else int(prev)
 
 
+def pair_signal(n_pairs: int, pair_bucket: "PairBucket", pipe,
+                max_per_tile: int) -> bool:
+    """Route a step's n_pairs readback to the right growth knob.
+
+    `n_pairs == max_pairs + 1` EXACTLY is render_core's per-tile clip
+    sentinel (XLA path): the bucket has room but a tile's list exceeded
+    max_per_tile — double `pipe.max_per_tile` (growing the bucket can
+    never unclip a tile; observed: a 67k-pair 128px frame ran the bucket
+    to the 8M hard cap). Anything else goes to the bucket controller.
+    Returns True when the caller must rebuild its raster config."""
+    if n_pairs == pair_bucket.max_pairs + 1:
+        pipe.max_per_tile = 2 * max_per_tile
+        print(f"[raster] per-tile list grown to {pipe.max_per_tile}")
+        return True
+    return pair_bucket.update(n_pairs) is not None
+
+
 class PairBucket:
     """Host-side controller for the rasterizer's max_pairs bucket.
 

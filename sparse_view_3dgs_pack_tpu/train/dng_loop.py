@@ -414,10 +414,9 @@ def train_dngaussian(dataset, opt, pipe, args, near_range: float = 0.0,
         # the one-step-lagged readback (no async-dispatch stall — see
         # capacity.LaggedScalar)
         prev_pairs = pair_lag.swap(metrics["n_pairs"])
-        if prev_pairs is not None:
-            new_pairs = pair_bucket.update(prev_pairs)
-            if new_pairs is not None:
-                rebuild_cfg(new_pairs)
+        if prev_pairs is not None and capacity.pair_signal(
+                prev_pairs, pair_bucket, pipe, raster_cfg.max_per_tile):
+            rebuild_cfg()
 
         if it % 100 == 0:
             print(f"[{it}/{opt.iterations}] loss="

@@ -395,7 +395,8 @@ def train_fsgs(dataset, opt, pipe, args):
         # the one-step-lagged readback (no async-dispatch stall — see
         # capacity.LaggedScalar)
         prev_pairs = pair_lag.swap(metrics["n_pairs"])
-        if prev_pairs is not None and pair_bucket.update(prev_pairs) is not None:
+        if prev_pairs is not None and capacity.pair_signal(
+                prev_pairs, pair_bucket, pipe, raster_cfg.max_per_tile):
             rebuild_cfg()
 
         if it % 100 == 0:

@@ -321,10 +321,11 @@ class Trainer:
             self._rebuild_config()
 
     def _maybe_grow_pairs(self, n_pairs: int):
-        """Grow/shrink the pair bucket via the shared controller."""
-        new_pairs = self.pair_bucket.update(n_pairs)
-        if new_pairs is not None:
-            self.pipe.max_pairs = new_pairs
+        """Grow/shrink the pair bucket — or, on the per-tile clip sentinel,
+        the max_per_tile knob — via the shared router (capacity.pair_signal)."""
+        if capacity.pair_signal(n_pairs, self.pair_bucket, self.pipe,
+                                self._raster_cfg.max_per_tile):
+            self.pipe.max_pairs = self.pair_bucket.max_pairs
             self._rebuild_config()
 
     # ------------------------------------------------------------------ dp

@@ -331,3 +331,61 @@ def test_tile_range_bounds_matches_searchsorted():
         keys = np.full(mp_odd, sentinel, np.uint32)
         keys[:n] = np.sort((tiles << depth_bits) | d)
         check(keys)
+
+
+def test_tile_clip_sentinel_and_growth_routing():
+    """XLA-path per-tile clipping must surface as EXACTLY max_pairs+1 (the
+    clip sentinel), and the host router must double max_per_tile for it
+    while routing true bucket overflow to the pair bucket. Regression for
+    the dense-scene pathology where the bucket grew to its 8M hard cap on
+    a 67k-pair frame without ever unclipping the tile lists."""
+    from sparse_view_3dgs_pack_tpu.data.cameras import CameraParams
+    from sparse_view_3dgs_pack_tpu.renderer import render_core
+    from sparse_view_3dgs_pack_tpu.train import capacity
+
+    # a compact cloud so central tiles hold many gaussians
+    cloud, cam = _scene(n=400, seed=3)
+    cloud["xyz"][:] *= 0.18                       # pile into few tiles
+    params = {
+        "xyz": jnp.asarray(cloud["xyz"]),
+        "scaling": jnp.asarray(cloud["scales"]),
+        "rotation": jnp.asarray(cloud["quats"]),
+        "opacity": jnp.asarray(cloud["opacity"]),
+        "features_dc": jnp.asarray(cloud["features"][:, :1]),
+        "features_rest": jnp.asarray(cloud["features"][:, 1:]),
+    }
+    alive = jnp.ones((400,), jnp.float32)
+    p = cam.params()
+    camp = CameraParams(viewmat=jnp.asarray(p.viewmat),
+                        full_proj=jnp.asarray(p.full_proj),
+                        cam_center=jnp.asarray(p.cam_center),
+                        tan_fovx=float(p.tan_fovx),
+                        tan_fovy=float(p.tan_fovy))
+    mp = 1 << 14
+    res = render_core(params, alive, jnp.eye(3, 4), camp, W, H,
+                      jnp.zeros(3), sh_degree_active=0,
+                      config=RasterConfig(max_pairs=mp, max_per_tile=16,
+                                          tile_batch=8))
+    n_pairs = int(res.n_pairs)
+    assert n_pairs == mp + 1, n_pairs      # clip sentinel, bucket has room
+
+    # an UNCLIPPED render of the same frame must report the true count
+    res2 = render_core(params, alive, jnp.eye(3, 4), camp, W, H,
+                       jnp.zeros(3), sh_degree_active=0,
+                       config=RasterConfig(max_pairs=mp, max_per_tile=1024,
+                                           tile_batch=8))
+    assert int(res2.n_pairs) <= mp
+    assert int(res2.n_pairs) > 0
+
+    # host routing: sentinel doubles max_per_tile, leaves the bucket alone
+    class P:
+        max_pairs = mp
+        max_per_tile = 16
+    bucket = capacity.PairBucket(mp, quiet=True)
+    assert capacity.pair_signal(mp + 1, bucket, P, 16)
+    assert P.max_per_tile == 32
+    assert bucket.max_pairs == mp
+    # true overflow grows the bucket, not the tile knob
+    assert capacity.pair_signal(mp + 2, bucket, P, 32)
+    assert bucket.max_pairs > mp
+    assert P.max_per_tile == 32
