@@ -307,7 +307,11 @@ def main():
     # hours before the driver sees any JSON. Probe first with a short
     # budget and fail out in minutes instead. (Observed: the axon relay's
     # claim leg hung for 3+ hours straight; nothing recovers it in-process.)
-    if _run_phase("probe", attempts=2, timeout=480) is None:
+    # Observed flakiness modes: (a) cold-compile slowness (covered by the
+    # persistent cache), (b) intermittent claim hangs where a fresh process
+    # succeeds on retry — so prefer MORE, SHORTER probe attempts: a healthy
+    # tunnel answers in <60 s; a hung attempt never returns at any budget.
+    if _run_phase("probe", attempts=4, timeout=240) is None:
         sys.stderr.write("[bench] backend unreachable (probe failed twice); "
                          "emitting null result\n")
         render_fps = train_its = None

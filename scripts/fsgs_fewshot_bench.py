@@ -45,7 +45,7 @@ def log(*a):
 
 def build_llff_colmap_scene(root, seed=3, size=400, n_cams=24,
                             n_gauss=20_000, n_dense=30_000, n_sparse=300,
-                            use_pallas=True):
+                            use_pallas=None):
     """Forward-facing COLMAP scene: cameras on a jittered disk at distance
     ~4 looking at a structured Gaussian cloud; writes sparse/0 binaries,
     images/, depth_maps/, and 3_views/dense/fused.ply."""
@@ -61,6 +61,10 @@ def build_llff_colmap_scene(root, seed=3, size=400, n_cams=24,
     from sparse_view_3dgs_pack_tpu.ops.projection import project_gaussians
     from sparse_view_3dgs_pack_tpu.utils.graphics import fov2focal
 
+    if os.environ.get("GS_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
     rng = np.random.default_rng(seed)
     W = H = size
 
@@ -144,13 +148,21 @@ def build_llff_colmap_scene(root, seed=3, size=400, n_cams=24,
         img, depth, alpha = render(cam)
         arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
         PILImage.fromarray(arr).save(os.path.join(imdir, cam.image_name))
-        # mono-style prior: true depth where covered, median elsewhere
-        # (~DPT quality ceiling; saved for ALL views — only train views
-        # are read by the precomputed estimator)
+        # mono prior in the MiDaS/DPT CONVENTION the consumers expect:
+        # relative DISPARITY, higher = closer, DPT-style 0..255 range
+        # (`fsgs_depth_loss` correlates -midas/1/(midas+200) with depth,
+        # `dng_loop` ingests 255 - d). A true-depth map here anti-correlates
+        # and the Pearson gradient violently distorts the scene (observed:
+        # scales exploded to 8M pairs within 30 iters on a 128px smoke).
         cov = alpha > 0.3
-        med = np.median(depth[cov]) if cov.any() else 1.0
+        zsafe = np.maximum(depth, 1e-3)
+        disp = np.where(cov, 1.0 / zsafe, 0.0)
+        dmax = disp.max() if cov.any() else 1.0
+        dmin = disp[cov].min() if cov.any() else 0.0
+        disp255 = np.where(cov, 255.0 * (disp - dmin) /
+                           max(dmax - dmin, 1e-6), 0.0)
         np.save(os.path.join(ddir, f"img_{i:03d}.npy"),
-                np.where(cov, depth, med).astype(np.float32))
+                disp255.astype(np.float32))
         qvec = colmap.rotmat2qvec(cam.R.T)
         images[i + 1] = colmap.Image(i + 1, qvec, cam.T, 1, cam.image_name,
                                      np.zeros((0, 2)),

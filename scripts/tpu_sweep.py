@@ -33,11 +33,11 @@ def build_scene(root, seed, w=256, n_train=12, n_test=4, n_gauss=1500,
     The single scene builder for every sweep/A-B script (tpu_sweep,
     tpu_runall_sweep, fsgs_ab). `use_pallas` renders through the Pallas
     kernel (TPU) instead of the XLA reference path; `depth_style` picks the
-    prior flavour: "invdepth_affine" = true inverse depth under an affine
-    distortion (the scale/shift ambiguity a real MiDaS prior has, which
-    alignment must undo), "depth_median" = true depth where covered and
-    median-filled elsewhere (roughly what DPT would give). `init_colors`:
-    "random" or "from_sh" (the cloud's own dc colors)."""
+    prior flavour — both are DPT-style relative disparity (higher = closer,
+    0..255, zero where uncovered): "invdepth_affine" additionally applies an
+    affine distortion (the scale/shift ambiguity a real MiDaS prior has,
+    which alignment must undo), "depth_median" is the plain normalized map.
+    `init_colors`: "random" or "from_sh" (the cloud's own dc colors)."""
     import jax
     import jax.numpy as jnp
     from PIL import Image as PILImage
@@ -82,13 +82,27 @@ def build_scene(root, seed, w=256, n_train=12, n_test=4, n_gauss=1500,
         out = rasterize(proj, w, w, jnp.zeros(3),
                         RasterConfig(max_pairs=1 << 17, max_per_tile=512,
                                      tile_batch=16))
-        return np.asarray(out.color), np.asarray(out.invdepth), None
+        return (np.asarray(out.color), np.asarray(out.depth),
+                np.asarray(out.alpha))
 
-    def prior(depth_or_invd, alpha):
-        if depth_style == "depth_median":
-            return np.where(alpha > 0.3, depth_or_invd,
-                            np.median(depth_or_invd[alpha > 0.3]))
-        return 2.3 * depth_or_invd + 0.7
+    def prior(depth, alpha):
+        """Mono prior in the MiDaS/DPT convention the consumers expect:
+        relative DISPARITY (higher = closer). `fsgs_depth_loss` correlates
+        -prior (and 1/(prior+200)) against rendered depth, and `dng_loop`
+        ingests 255 - prior — a true-DEPTH prior here ANTI-correlates and
+        makes the Pearson term destructive (this exact bug made FSGS score
+        below DNGaussian in the round-3 sweep)."""
+        cov = alpha > 0.3
+        disp = np.where(cov, 1.0 / np.maximum(depth, 1e-3), 0.0)
+        dmin = disp[cov].min() if cov.any() else 0.0
+        dmax = disp.max() if cov.any() else 1.0
+        disp255 = np.where(cov, 255.0 * (disp - dmin)
+                           / max(dmax - dmin, 1e-6), 0.0)
+        if depth_style == "invdepth_affine":
+            # keep the affine scale/shift ambiguity a real MiDaS map has
+            # (alignment must undo it); still disparity-monotone
+            return 2.3 * disp255 + 0.7
+        return disp255
 
     meta = {}
     for split, n, phase in (("train", n_train, 0.0), ("test", n_test, 0.26)):
