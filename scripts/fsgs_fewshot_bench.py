@@ -233,11 +233,26 @@ def run_arm(name, scene, out_root, iters_fsgs, iters_dng, size, python):
         [python, "render.py", "-m", model, "--skip_train"],
         [python, "metrics.py", "-m", model],
     ]
+    # train gets a generous budget; render/metrics are minutes of real work
+    # — a much longer stall is the TPU tunnel's claim leg hanging at first
+    # device touch (observed: render.py at 0.7% CPU for 20+ min), which a
+    # FRESH process recovers from. Kill and retry once per step.
+    budgets = [7200, 1200, 1200]
     t0 = time.time()
     with open(logf, "w") as f:
-        for cmd in steps:
+        for cmd, budget in zip(steps, budgets):
             log(f"[{name}] {' '.join(cmd[:6])} ...")
-            rc = subprocess.call(cmd, cwd=REPO, stdout=f, stderr=f)
+            rc = None
+            for attempt in range(2):
+                try:
+                    rc = subprocess.call(cmd, cwd=REPO, stdout=f, stderr=f,
+                                         timeout=budget)
+                    break
+                except subprocess.TimeoutExpired:
+                    log(f"[{name}] step timed out after {budget}s "
+                        f"(attempt {attempt + 1}); retrying in a fresh "
+                        "process")
+                    rc = 124
             if rc != 0:
                 log(f"[{name}] FAILED rc={rc} (see {logf})")
                 return {"arm": name, "rc": rc,
@@ -258,6 +273,10 @@ def main():
     ap.add_argument("--iters_fsgs", type=int, default=10_000)
     ap.add_argument("--iters_dng", type=int, default=6_000)
     ap.add_argument("--arms", default=",".join(ARMS))
+    ap.add_argument("--n_gauss", type=int, default=20_000,
+                    help="GT cloud size (shrink for CPU smoke runs)")
+    ap.add_argument("--n_dense", type=int, default=30_000,
+                    help="MVS-style dense init size")
     ap.add_argument("--skip_scene", action="store_true")
     ap.add_argument("--build_scene_only", action="store_true",
                     help="internal: build the fixture scene and exit")
@@ -267,7 +286,8 @@ def main():
     out_root = os.path.join(args.workdir, "runs")
     os.makedirs(out_root, exist_ok=True)
     if args.build_scene_only:
-        build_llff_colmap_scene(scene, size=args.size)
+        build_llff_colmap_scene(scene, size=args.size, n_gauss=args.n_gauss,
+                                n_dense=args.n_dense)
         return 0
     if not args.skip_scene:
         # build in a SUBPROCESS: the scene render grabs the (exclusive)
@@ -275,6 +295,8 @@ def main():
         # child train.py waiting on the device
         rc = subprocess.call([sys.executable, os.path.abspath(__file__),
                               args.workdir, "--size", str(args.size),
+                              "--n_gauss", str(args.n_gauss),
+                              "--n_dense", str(args.n_dense),
                               "--build_scene_only"])
         if rc != 0:
             log(f"scene build failed rc={rc}")
